@@ -1,0 +1,146 @@
+"""Immutable, statically-shaped graph containers for TPU execution.
+
+The reference implementation (snap-research/linkless-link-prediction) passes raw
+``edge_index`` tensors (2, E) around and leans on torch_sparse.SparseTensor for
+its one explicit SpMM (reference ``src/sageconv_updated.py:86-89``).  On TPU we
+need static shapes everywhere that XLA traces, so a graph is built once on the
+host (numpy), padded to an aligned edge count, and carried as a pytree of
+device arrays:
+
+* COO layout (``senders``/``receivers`` + ``edge_mask``) feeds the XLA
+  segment-sum aggregation path; padded edges have mask=False and point at
+  node 0 (their messages are zeroed before the scatter).
+* CSR-by-sender (``row_ptr``/``col``) feeds the on-device random-walk sampler
+  and the Pallas SpMM kernel.  Edges here are the same set sorted by sender.
+
+All LLP graphs are undirected with both directions materialized (the reference
+trains on ``to_undirected`` train edges), so one CSR covers both the
+out-neighborhood (walks) and in-neighborhood (aggregation) views; a directed
+build stores the extra in-CSR explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of ``m`` that is >= ``x`` (and >= m)."""
+    if x <= 0:
+        return m
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class Graph:
+    """A padded, statically-shaped graph.
+
+    Attributes
+    ----------
+    senders, receivers : (E_pad,) int32
+        COO edge list. Message on edge e flows senders[e] -> receivers[e].
+        Padded entries are (0, 0) with ``edge_mask`` False.
+    edge_mask : (E_pad,) bool
+        True for real edges.
+    row_ptr : (N + 1,) int32
+        CSR offsets by sender. ``col[row_ptr[u]:row_ptr[u+1]]`` are u's
+        out-neighbors. Only real edges are covered (row_ptr[N] == num_edges).
+    col : (E_pad,) int32
+        CSR neighbor array (sorted by sender); padded tail repeats 0.
+    in_degree : (N,) int32
+        Number of real in-edges per node (aggregation fan-in).
+    out_degree : (N,) int32
+        Number of real out-edges per node (random-walk fan-out).
+    num_nodes : int (static)
+    num_edges : int (static)
+        Count of real (unpadded) edges.
+    """
+
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_mask: jnp.ndarray
+    row_ptr: jnp.ndarray
+    col: jnp.ndarray
+    in_degree: jnp.ndarray
+    out_degree: jnp.ndarray
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+
+def pad_edges(edge_index: np.ndarray, e_pad: int):
+    """Pad a (2, E) int edge list to (2, e_pad) with zeros + boolean mask."""
+    edge_index = np.asarray(edge_index, dtype=np.int32)
+    e = edge_index.shape[1]
+    if e > e_pad:
+        raise ValueError(f"e_pad={e_pad} smaller than edge count {e}")
+    out = np.zeros((2, e_pad), dtype=np.int32)
+    out[:, :e] = edge_index
+    mask = np.zeros((e_pad,), dtype=bool)
+    mask[:e] = True
+    return out[0], out[1], mask
+
+
+def build_graph(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    *,
+    pad_to_multiple: int = 128,
+    e_pad: Optional[int] = None,
+) -> Graph:
+    """Build a padded :class:`Graph` from a host (2, E) edge list.
+
+    Mirrors the data contract of the reference's ``data.adj_t = train_edges.t()``
+    (reference ``src/train_teacher_gnn.py:316-317``): the edge list given here IS
+    the message graph. No symmetrization or dedup is performed — callers that
+    want both directions must pass them (as the reference's splits do).
+    """
+    edge_index = np.asarray(edge_index, dtype=np.int64)
+    if edge_index.ndim != 2 or edge_index.shape[0] != 2:
+        raise ValueError(f"edge_index must be (2, E), got {edge_index.shape}")
+    e = edge_index.shape[1]
+    if e > 0 and (edge_index.min() < 0 or edge_index.max() >= num_nodes):
+        raise ValueError("edge_index contains out-of-range node ids")
+    if e_pad is None:
+        e_pad = round_up(e, pad_to_multiple)
+
+    senders, receivers, mask = pad_edges(edge_index, e_pad)
+
+    # CSR by sender (stable sort keeps deterministic neighbor order).
+    order = np.argsort(senders[:e], kind="stable")
+    col = np.zeros((e_pad,), dtype=np.int32)
+    col[:e] = receivers[:e][order]
+    counts = np.bincount(senders[:e], minlength=num_nodes).astype(np.int64)
+    row_ptr = np.zeros((num_nodes + 1,), dtype=np.int32)
+    row_ptr[1:] = np.cumsum(counts).astype(np.int32)
+
+    out_degree = counts.astype(np.int32)
+    in_degree = np.bincount(receivers[:e], minlength=num_nodes).astype(np.int32)
+
+    return Graph(
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        edge_mask=jnp.asarray(mask),
+        row_ptr=jnp.asarray(row_ptr),
+        col=jnp.asarray(col),
+        in_degree=jnp.asarray(in_degree),
+        out_degree=jnp.asarray(out_degree),
+        num_nodes=int(num_nodes),
+        num_edges=int(e),
+    )
+
+
+def to_undirected_np(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Host helper: symmetrize + dedup an edge list (drops duplicates)."""
+    edge_index = np.asarray(edge_index, dtype=np.int64)
+    both = np.concatenate([edge_index, edge_index[::-1]], axis=1)
+    keys = both[0] * num_nodes + both[1]
+    _, idx = np.unique(keys, return_index=True)
+    return both[:, np.sort(idx)].astype(np.int64)

@@ -1,0 +1,169 @@
+"""Dataset registry: name -> (features, undirected edge list).
+
+Mirrors the reference's ``get_dataset`` surface (reference
+``src/utils.py:30-50``: cora/citeseer/pubmed via Planetoid, coauthor-cs/
+physics, amazon-computers/photos; ogbl-collab handled specially in the mains)
+but sources data from, in order of preference:
+
+1. ``<root>/<name>.npz`` — a local export with arrays ``x`` (N, D) float32 and
+   ``edge_index`` (2, E) int64 (both directions).  This is the interchange
+   format for the real datasets; ``llp_tpu.data.io.save_dataset_npz`` writes
+   it, and a one-time torch-side export from PyG produces bit-identical
+   inputs for parity runs.
+2. Planetoid raw files (``ind.<name>.*``) if present under
+   ``<root>/<Name>/raw`` — parsed directly, no PyG needed.
+3. A seeded synthetic stand-in with the real dataset's (N, D, avg-degree)
+   shape — the offline default in this environment (no egress).
+
+Synthetic names are also first-class: ``synthetic:sbm:<n>:<k>:<deg>[:seed]``
+and ``synthetic:ba:<n>:<m>[:seed]``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from llp_tpu.data.synthetic import ba_graph, community_features, sbm_graph
+
+# (num_nodes, feature_dim, avg_degree, feature_kind, communities) of the real
+# datasets — used to shape synthetic stand-ins.
+_REAL_SHAPES = {
+    "cora": (2708, 1433, 3.9, "binary", 7),
+    "citeseer": (3327, 3703, 2.7, "binary", 6),
+    "pubmed": (19717, 500, 4.5, "binary", 3),
+    "coauthor-cs": (18333, 6805, 8.9, "binary", 15),
+    "coauthor-physics": (34493, 8415, 14.4, "binary", 5),
+    "amazon-computers": (13752, 767, 35.8, "binary", 10),
+    "amazon-photos": (7650, 745, 31.1, "binary", 8),
+    "collab": (235868, 128, 8.2, "gauss", 64),
+}
+
+
+@dataclass
+class Dataset:
+    name: str
+    x: np.ndarray            # (N, D) float32
+    edge_index: np.ndarray   # (2, E) int64, undirected (both directions)
+    synthetic: bool = False
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.x.shape[0])
+
+    @property
+    def num_features(self) -> int:
+        return int(self.x.shape[1])
+
+
+def get_dataset(root: str, name: str) -> Dataset:
+    if name.startswith("synthetic:"):
+        return _synthetic_by_spec(name)
+
+    npz_path = os.path.join(root, f"{name}.npz")
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            return Dataset(name, z["x"].astype(np.float32), z["edge_index"].astype(np.int64))
+
+    planetoid = _try_planetoid(root, name)
+    if planetoid is not None:
+        return planetoid
+
+    if name in _REAL_SHAPES:
+        return _synthetic_standin(name)
+
+    raise ValueError(
+        f"unknown dataset {name!r}; expected one of {sorted(_REAL_SHAPES)}, a "
+        f"synthetic: spec, or a {name}.npz under {root!r}"
+    )
+
+
+def _synthetic_by_spec(spec: str) -> Dataset:
+    parts = spec.split(":")
+    kind = parts[1]
+    if kind == "sbm":
+        n, k, deg = int(parts[2]), int(parts[3]), float(parts[4])
+        seed = int(parts[5]) if len(parts) > 5 else 0
+        ei, comm = sbm_graph(n, k, deg, seed=seed)
+        x = community_features(comm, min(max(64, n // 16), 1433), seed=seed)
+        return Dataset(spec, x, ei, synthetic=True)
+    if kind == "ba":
+        n, m = int(parts[2]), int(parts[3])
+        seed = int(parts[4]) if len(parts) > 4 else 0
+        ei = ba_graph(n, m, seed=seed)
+        rng = np.random.default_rng(seed)
+        comm = rng.integers(0, 8, size=n)
+        x = community_features(comm, 128, kind="gauss", seed=seed)
+        return Dataset(spec, x, ei, synthetic=True)
+    raise ValueError(f"unknown synthetic spec {spec!r}")
+
+
+def _synthetic_standin(name: str) -> Dataset:
+    n, d, deg, feat_kind, k = _REAL_SHAPES[name]
+    ei, comm = sbm_graph(n, k, deg, homophily=0.88, seed=hash(name) % (2**31))
+    x = community_features(comm, d, kind=feat_kind, seed=hash(name) % (2**31))
+    return Dataset(name, x, ei, synthetic=True)
+
+
+def _try_planetoid(root: str, name: str):
+    """Parse Planetoid raw files (ind.<ds>.{x,tx,allx,graph,test.index})."""
+    folder_names = {"cora": "Cora", "citeseer": "Citeseer", "pubmed": "Pubmed"}
+    if name not in folder_names:
+        return None
+    for base in (
+        os.path.join(root, folder_names[name], "raw"),
+        os.path.join(root, name, "raw"),
+        root,
+    ):
+        if os.path.exists(os.path.join(base, f"ind.{name}.allx")):
+            return _parse_planetoid(base, name)
+    return None
+
+
+def _parse_planetoid(base: str, name: str) -> Dataset:
+    import scipy.sparse as sp
+
+    def load_pickle(suffix):
+        with open(os.path.join(base, f"ind.{name}.{suffix}"), "rb") as f:
+            if sys.version_info >= (3, 0):
+                return pickle.load(f, encoding="latin1")
+            return pickle.load(f)
+
+    allx = load_pickle("allx")
+    tx = load_pickle("tx")
+    graph = load_pickle("graph")
+    test_idx = np.loadtxt(
+        os.path.join(base, f"ind.{name}.test.index"), dtype=np.int64
+    )
+    test_idx_range = np.sort(test_idx)
+
+    if name == "citeseer":
+        # Citeseer has isolated test nodes outside the contiguous range.
+        full = np.arange(test_idx_range.min(), test_idx_range.max() + 1)
+        tx_ext = sp.lil_matrix((len(full), allx.shape[1]))
+        tx_ext[test_idx_range - test_idx_range.min(), :] = tx
+        tx = tx_ext
+
+    x = sp.vstack([allx, tx]).tolil()
+    x[test_idx, :] = x[test_idx_range, :]
+    x = np.asarray(x.todense(), dtype=np.float32)
+
+    edges = []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            if u != v:
+                edges.append((u, v))
+    ei = np.array(edges, dtype=np.int64).T
+    # Symmetrize + dedup.
+    n = x.shape[0]
+    keys = np.unique(
+        np.concatenate(
+            [ei[0] * n + ei[1], ei[1] * n + ei[0]]
+        )
+    )
+    ei = np.stack([keys // n, keys % n])
+    return Dataset(name, x, ei)

@@ -1,0 +1,65 @@
+"""Transductive evaluation — Hits@K + AUC over valid/test pos/neg edge sets.
+
+Reproduces reference ``test_transductive`` (reference ``src/train_teacher_gnn.py
+:76-155``): one eval-mode full-graph encode (message graph = train edges), pair
+scores for the four edge sets, OGB hits@{10,20,30,50} (non-collab) or
+{10,50,100} (collab) plus sklearn-equivalent AUC.  The reference batches the
+scoring loop for GPU memory and round-trips every batch through the host; here
+the whole evaluation — encode, score, top-k, AUC — is ONE jit'd device program
+returning scalars.
+
+Also returns the node embeddings ``h`` (the reference reuses them as the
+teacher's exported features, ``train_teacher_gnn.py:155,451``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from llp_tpu.models.encoder import apply_encoder
+from llp_tpu.models.predictor import apply_link_predictor
+from llp_tpu.ops.metrics import hits_at_k, roc_auc
+
+
+def make_transductive_eval_fn(
+    *,
+    encoder: str,
+    conv: str = "sage",
+    predictor_mode: str = "mlp",
+    hits_ks: Sequence[int] = (10, 20, 30, 50),
+    spmm_impl: str = "xla",
+):
+    """Returns jitted ``eval_fn(params, graph, x, valid_pos, valid_neg,
+    test_pos, test_neg) -> (results, h)`` with edge arrays (M, 2) int32 and
+    ``results`` a dict: 'Hits@K'/'AUC' -> (valid, test) float scalars."""
+
+    ks = tuple(hits_ks)
+
+    def score(params, h, edges):
+        return apply_link_predictor(
+            params["predictor"],
+            jnp.take(h, edges[:, 0], axis=0),
+            jnp.take(h, edges[:, 1], axis=0),
+            mode=predictor_mode,
+            train=False,
+        )
+
+    @jax.jit
+    def eval_fn(params, graph, x, valid_pos, valid_neg, test_pos, test_neg):
+        h = apply_encoder(
+            encoder, params["encoder"], graph, x, train=False, conv=conv, impl=spmm_impl
+        )
+        vp = score(params, h, valid_pos)
+        vn = score(params, h, valid_neg)
+        tp = score(params, h, test_pos)
+        tn = score(params, h, test_neg)
+        results = {}
+        for k in ks:
+            results[f"Hits@{k}"] = (hits_at_k(vp, vn, k), hits_at_k(tp, tn, k))
+        results["AUC"] = (roc_auc(vp, vn), roc_auc(tp, tn))
+        return results, h
+
+    return eval_fn

@@ -1,0 +1,106 @@
+"""GCN encoder — symmetric-normalized graph convolution.
+
+Matches PyG ``GCNConv(cached=True)`` as used by the reference ``GCN``
+(reference ``src/models.py:56-80``) over an unweighted edge_index:
+
+    x' = D̂^{-1/2} (A + I) D̂^{-1/2} · x · W + b,     D̂ = deg(A) + 1
+
+Implemented as a weighted SpMM over the real edges plus an analytic self-loop
+term (1/d̂_v per node), so the Graph container never needs self-loops added.
+The normalization coefficients depend only on graph structure — compute them
+once with :func:`gcn_norm_coeffs` and reuse across layers/steps (this is what
+``cached=True`` buys the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llp_tpu.core.graph import Graph
+from llp_tpu.models.init import init_linear
+from llp_tpu.ops.spmm import spmm
+
+
+def gcn_norm_coeffs(graph: Graph) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge weights 1/sqrt(d̂_u d̂_v) (E_pad,) and self weights 1/d̂_v (N,).
+
+    Degrees count real in-edges (the reference graphs are undirected so
+    in == out); +1 for the implicit self-loop.
+    """
+    deg_hat = graph.in_degree.astype(jnp.float32) + 1.0
+    inv_sqrt = jax.lax.rsqrt(deg_hat)
+    ew = inv_sqrt[graph.senders] * inv_sqrt[graph.receivers]
+    ew = jnp.where(graph.edge_mask, ew, 0.0)
+    return ew, 1.0 / deg_hat
+
+
+def init_gcn_conv(key: jax.Array, din: int, dout: int, *, dtype=jnp.float32) -> dict:
+    return {"lin": init_linear(key, din, dout, bias=True, init="glorot", dtype=dtype)}
+
+
+def apply_gcn_conv(
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    *,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    if norm is None:
+        norm = gcn_norm_coeffs(graph)
+    edge_w, self_w = norm
+    xw = jnp.dot(x, params["lin"]["w"], preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+    out = spmm(graph, xw, reduce="sum", edge_weight=edge_w, impl=impl)
+    out = out + self_w[:, None].astype(xw.dtype) * xw
+    return out + params["lin"]["b"]
+
+
+def init_gcn(
+    key: jax.Array,
+    in_channels: int,
+    hidden_channels: int,
+    out_channels: int,
+    num_layers: int,
+    *,
+    dtype=jnp.float32,
+) -> dict:
+    keys = jax.random.split(key, num_layers)
+    dims = [in_channels] + [hidden_channels] * (num_layers - 1) + [out_channels]
+    convs = [
+        init_gcn_conv(keys[i], dims[i], dims[i + 1], dtype=dtype)
+        for i in range(num_layers)
+    ]
+    return {"convs": convs}
+
+
+def apply_gcn(
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    *,
+    dropout: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """ReLU + dropout between convs, nothing after the last (models.py:74-80)."""
+    if norm is None:
+        norm = gcn_norm_coeffs(graph)
+    convs = params["convs"]
+    h = x
+    for i, cp in enumerate(convs[:-1]):
+        h = apply_gcn_conv(cp, graph, h, norm, impl=impl)
+        h = jax.nn.relu(h)
+        if train and dropout > 0.0:
+            if rng is None:
+                raise ValueError("train-mode dropout requires an rng key")
+            keep = 1.0 - dropout
+            mask = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, h.shape)
+            h = jnp.where(mask, h / keep, jnp.zeros_like(h))
+    return apply_gcn_conv(convs[-1], graph, h, norm, impl=impl)

@@ -1,0 +1,101 @@
+"""GraphSAGE encoder with both conv variants the reference uses.
+
+* ``apply_sage_conv`` — PyG SAGEConv semantics (aggregate-then-linear):
+  ``out = W_l · mean_{j∈N(i)} x_j + b + W_r · x_i``.
+* ``apply_sage_conv_updated`` — the reference's memory-efficient variant
+  (reference ``src/sageconv_updated.py:65-81``), linear-then-aggregate:
+  ``out = mean_{j∈N(i)} (W_l · x_j + b) + W_r · x_i``.  Mathematically equal
+  on nodes with neighbors; on isolated nodes the bias contribution differs
+  (0 vs b) exactly as in the reference pair.  Used for coauthor-physics
+  (reference ``src/train_teacher_gnn.py:375-383``) where D >> H makes the
+  pre-aggregation projection cheaper: SpMM width drops from D to H.
+
+The SAGE stack (reference ``src/models.py:82-119``): convs with optional norm
++ ReLU + dropout between, nothing after the last conv.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from llp_tpu.core.graph import Graph
+from llp_tpu.models.init import apply_linear, init_linear
+from llp_tpu.ops.spmm import spmm
+
+
+def init_sage_conv(key: jax.Array, din: int, dout: int, *, dtype=jnp.float32) -> dict:
+    kl, kr = jax.random.split(key)
+    return {
+        "lin_l": init_linear(kl, din, dout, bias=True, dtype=dtype),
+        "lin_r": init_linear(kr, din, dout, bias=False, dtype=dtype),
+    }
+
+
+def apply_sage_conv(
+    params: dict, graph: Graph, x: jnp.ndarray, *, impl: str = "xla"
+) -> jnp.ndarray:
+    """PyG SAGEConv: aggregate neighbors (mean), then project."""
+    agg = spmm(graph, x, reduce="mean", impl=impl)
+    return apply_linear(params["lin_l"], agg) + apply_linear(params["lin_r"], x)
+
+
+def apply_sage_conv_updated(
+    params: dict, graph: Graph, x: jnp.ndarray, *, impl: str = "xla"
+) -> jnp.ndarray:
+    """Reference SAGEConv_updated: project, then aggregate (mean)."""
+    out = apply_linear(params["lin_l"], x)
+    out = spmm(graph, out, reduce="mean", impl=impl)
+    return out + apply_linear(params["lin_r"], x)
+
+
+_CONV_APPLY = {
+    "sage": apply_sage_conv,
+    "sage_updated": apply_sage_conv_updated,
+}
+
+
+def init_sage(
+    key: jax.Array,
+    in_channels: int,
+    hidden_channels: int,
+    out_channels: int,
+    num_layers: int,
+    *,
+    dtype=jnp.float32,
+) -> dict:
+    keys = jax.random.split(key, num_layers)
+    dims = [in_channels] + [hidden_channels] * (num_layers - 1) + [out_channels]
+    convs = [
+        init_sage_conv(keys[i], dims[i], dims[i + 1], dtype=dtype)
+        for i in range(num_layers)
+    ]
+    return {"convs": convs}
+
+
+def apply_sage(
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    *,
+    dropout: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    conv: str = "sage",
+    impl: str = "xla",
+) -> jnp.ndarray:
+    conv_fn = _CONV_APPLY[conv]
+    convs = params["convs"]
+    h = x
+    for i, cp in enumerate(convs[:-1]):
+        h = conv_fn(cp, graph, h, impl=impl)
+        h = jax.nn.relu(h)
+        if train and dropout > 0.0:
+            if rng is None:
+                raise ValueError("train-mode dropout requires an rng key")
+            keep = 1.0 - dropout
+            mask = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, h.shape)
+            h = jnp.where(mask, h / keep, jnp.zeros_like(h))
+    return conv_fn(convs[-1], graph, h, impl=impl)

@@ -1,0 +1,83 @@
+"""Pairwise edge scoring (the link-prediction decoder hot path).
+
+TPU-native replacement for the reference ``LinkPredictor.forward`` (reference
+``src/models.py:139-150``): gather the two endpoint embeddings, Hadamard
+product, then either an MLP head ('mlp') or a plain sum ('inner', i.e. dot
+product), always squashed through a sigmoid.
+
+The functions here are pure numerics over already-initialized parameters so
+they can be reused by the model layer, the fused Pallas SDDMM kernel's
+reference path, and the sharded evaluators.  Linear parameters are dicts
+``{"w": (in, out), "b": (out,)}``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def hadamard_inner_score(hi: jnp.ndarray, hj: jnp.ndarray) -> jnp.ndarray:
+    """sigmoid(<hi, hj>) — the 'inner' predictor (models.py:147-150)."""
+    return jax.nn.sigmoid(jnp.sum(hi * hj, axis=-1))
+
+
+def hadamard_mlp_score(
+    lins: Sequence[dict],
+    hi: jnp.ndarray,
+    hj: jnp.ndarray,
+    *,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """sigmoid(MLP(hi * hj)) — the 'mlp' predictor (models.py:141-146).
+
+    ReLU + dropout between layers, none after the last; final output squeezed
+    to drop the trailing singleton channel.
+    """
+    x = hi * hj
+    n = len(lins)
+    for i, lin in enumerate(lins[:-1]):
+        x = jnp.dot(x, lin["w"], preferred_element_type=jnp.float32) + lin["b"]
+        x = jax.nn.relu(x)
+        if rng is not None and dropout > 0.0:
+            x = _dropout(x, dropout, jax.random.fold_in(rng, i))
+    x = jnp.dot(x, lins[-1]["w"], preferred_element_type=jnp.float32) + lins[-1]["b"]
+    del n
+    return jax.nn.sigmoid(x.squeeze(-1)).astype(hi.dtype)
+
+
+def score_edges(
+    h: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    *,
+    mode: str = "inner",
+    lins: Optional[Sequence[dict]] = None,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Gather endpoint rows of ``h`` and score the (src, dst) pairs.
+
+    The gather + Hadamard + head is the SDDMM-shaped hot op the Pallas kernel
+    fuses; this is the XLA expression of it.
+    """
+    hi = jnp.take(h, src, axis=0)
+    hj = jnp.take(h, dst, axis=0)
+    if mode == "inner":
+        return hadamard_inner_score(hi, hj)
+    if mode == "mlp":
+        if lins is None:
+            raise ValueError("mode='mlp' requires predictor parameters")
+        return hadamard_mlp_score(lins, hi, hj, dropout=dropout, rng=rng)
+    raise ValueError(f"unknown predictor mode {mode!r}")

@@ -1,0 +1,101 @@
+"""Sparse matrix × dense matrix aggregation (the GNN message-passing core).
+
+TPU-native replacement for the reference's ``torch_sparse.matmul(adj_t, x,
+reduce=...)`` (reference ``src/sageconv_updated.py:86-89``) and for the
+scatter-based PyG ``MessagePassing`` engine backing SAGEConv/GCNConv
+(reference ``src/models.py``).
+
+Two implementations behind one interface:
+
+* ``impl="xla"`` — gather sender rows, mask, ``jax.ops.segment_sum`` /
+  ``segment_max`` into receivers.  XLA lowers this to the TPU's native
+  dynamic-gather + scatter-add; accumulation is fp32 even for bf16 inputs.
+* ``impl="pallas"`` — blocked-CSR Pallas kernel (see
+  :mod:`llp_tpu.ops.pallas.spmm_kernel`), used when the feature width is
+  lane-aligned; falls back to XLA otherwise.
+
+Semantics (matching torch_sparse.matmul over an adjacency whose values were
+stripped, i.e. binary weights):
+
+* ``sum``:   out[v] = Σ_{e: recv[e]=v} x[send[e]]
+* ``mean``:  sum / in_degree, 0 for isolated nodes (torch_sparse convention)
+* ``max``:   elementwise max over senders, 0 for isolated nodes
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from llp_tpu.core.graph import Graph
+
+_IMPLS = ("xla", "pallas")
+
+
+def spmm(
+    graph: Graph,
+    x: jnp.ndarray,
+    reduce: str = "mean",
+    *,
+    edge_weight: jnp.ndarray | None = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Aggregate sender features into receivers over the graph's edges.
+
+    Args:
+      graph: padded graph (COO + CSR views).
+      x: (N, D) node features.
+      reduce: "sum" | "mean" | "max".
+      edge_weight: optional (E_pad,) per-edge scalar weights (sum/mean only) —
+        used by GCN's symmetric normalization.
+      impl: "xla" (segment ops) or "pallas" (blocked-CSR kernel).
+
+    Returns:
+      (N, D) aggregated features, dtype follows x (accumulation in fp32).
+    """
+    if reduce not in ("sum", "mean", "max"):
+        raise ValueError(f"unknown reduce {reduce!r}")
+    if edge_weight is not None and reduce == "max":
+        raise ValueError("edge_weight is not supported with reduce='max'")
+    if impl == "pallas":
+        from llp_tpu.ops.pallas.spmm_kernel import spmm_pallas, pallas_supported
+
+        if edge_weight is None and pallas_supported(graph, x):
+            return spmm_pallas(graph, x, reduce)
+        impl = "xla"
+    if impl != "xla":
+        raise ValueError(f"unknown impl {impl!r}; expected one of {_IMPLS}")
+    return _spmm_xla(graph, x, reduce, edge_weight)
+
+
+def _spmm_xla(
+    graph: Graph,
+    x: jnp.ndarray,
+    reduce: str,
+    edge_weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    n = graph.num_nodes
+    acc_dtype = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    msgs = jnp.take(x, graph.senders, axis=0).astype(acc_dtype)
+    if edge_weight is not None:
+        msgs = msgs * edge_weight.astype(acc_dtype)[:, None]
+
+    if reduce == "max":
+        neg = jnp.asarray(-jnp.inf, dtype=acc_dtype)
+        msgs = jnp.where(graph.edge_mask[:, None], msgs, neg)
+        out = jax.ops.segment_max(
+            msgs, graph.receivers, num_segments=n, indices_are_sorted=False
+        )
+        # Isolated nodes (and padding scatters) produce -inf; zero them like
+        # torch_sparse's reduce="max" does for empty rows.
+        out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+        return out.astype(x.dtype)
+
+    msgs = jnp.where(graph.edge_mask[:, None], msgs, jnp.zeros_like(msgs))
+    out = jax.ops.segment_sum(
+        msgs, graph.receivers, num_segments=n, indices_are_sorted=False
+    )
+    if reduce == "mean":
+        deg = graph.in_degree.astype(acc_dtype)
+        out = out / jnp.maximum(deg, 1.0)[:, None]
+    return out.astype(x.dtype)

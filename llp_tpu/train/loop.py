@@ -1,0 +1,382 @@
+"""Experiment drivers: multi-run teacher training and student distillation.
+
+Host-side orchestration around the jitted epoch/eval programs, reproducing the
+reference mains' run protocol (reference ``src/train_teacher_gnn.py:270-536``,
+``src/main.py:238-515``):
+
+* per run: seeded init (teacher seeds ``run``, student ``run+1`` — reference
+  ``train_teacher_gnn.py:422`` / ``main.py:396``), epoch loop with per-epoch
+  evaluation, early stop after ``patience`` non-improving validation epochs;
+* teacher artifact export (params + best-val node features) at the *global*
+  best validation across runs (reference ``val_max`` semantics,
+  ``train_teacher_gnn.py:420,446-452``), with architecture metadata so the
+  student load is self-describing;
+* run loggers with test-at-argmax-val, mean±std reporting;
+* results file append (``<results_dir>/{ds}_{supervised|KD}_{setting}.txt``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llp_tpu.core.graph import build_graph
+from llp_tpu.data.io import (
+    load_production_split_npz,
+    load_split_npz,
+    save_production_split_npz,
+    save_split_npz,
+)
+from llp_tpu.data.registry import get_dataset
+from llp_tpu.data.splits import do_edge_split, do_production_edge_split
+from llp_tpu.evaln.logger import ProductionRunLogger, RunLogger
+from llp_tpu.evaln.production import make_production_eval_fn
+from llp_tpu.evaln.transductive import make_transductive_eval_fn
+from llp_tpu.sample.negative import MAX_EXACT_NODES, edge_hash_keys
+from llp_tpu.train.student import init_student_params, make_student_epoch_fn
+from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
+from llp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from llp_tpu.utils.config import SplitConfig, StudentConfig, TeacherConfig
+
+
+def _conv_variant(cfg) -> str:
+    # coauthor-physics uses the linear-then-aggregate conv (train_teacher_gnn.py:375-383).
+    return "sage_updated" if cfg.datasets == "coauthor-physics" else "sage"
+
+
+def prepare_transductive(cfg):
+    """Dataset + cached split + padded graph + device arrays."""
+    ds = get_dataset(cfg.dataset_dir, cfg.datasets)
+    cache = os.path.join(cfg.dataset_dir, f"{cfg.datasets}_split.npz")
+    if os.path.exists(cache):
+        split = load_split_npz(cache)
+    else:
+        split = do_edge_split(ds.x, ds.edge_index, seed=234)
+        save_split_npz(cache, split)
+
+    train_edges = split["train"]["edge"].astype(np.int32)  # (E, 2), both dirs
+    graph = build_graph(train_edges.T, ds.num_nodes)
+    x = jnp.asarray(ds.x)
+
+    if ds.num_nodes <= MAX_EXACT_NODES:
+        neg_keys = jnp.asarray(edge_hash_keys(train_edges.T, ds.num_nodes))
+    else:
+        neg_keys = jnp.zeros((1,), jnp.int32)  # uniform path ignores it
+
+    eval_edges = {
+        "valid_pos": jnp.asarray(split["valid"]["edge"].astype(np.int32)),
+        "valid_neg": jnp.asarray(split["valid"]["edge_neg"].astype(np.int32)),
+        "test_pos": jnp.asarray(split["test"]["edge"].astype(np.int32)),
+        "test_neg": jnp.asarray(split["test"]["edge_neg"].astype(np.int32)),
+    }
+    return dict(
+        ds=ds,
+        graph=graph,
+        x=x,
+        pos_edges=jnp.asarray(train_edges),
+        neg_keys=neg_keys,
+        eval_edges=eval_edges,
+        num_pos=train_edges.shape[0],
+    )
+
+
+def prepare_production(cfg):
+    ds = get_dataset(cfg.dataset_dir, cfg.datasets)
+    cache = os.path.join(cfg.dataset_dir, f"{cfg.datasets}_production.npz")
+    if os.path.exists(cache):
+        ps = load_production_split_npz(cache)
+    else:
+        sc = SplitConfig.for_dataset(cfg.datasets)
+        ps = do_production_edge_split(
+            ds.x,
+            ds.edge_index,
+            test_ratio=sc.test_ratio,
+            val_node_ratio=sc.val_node_ratio,
+            val_ratio=sc.val_ratio,
+            old_old_extra_ratio=sc.old_old_extra_ratio,
+            seed=sc.seed,
+        )
+        save_production_split_npz(cache, ps)
+
+    n_old = ps.training_x.shape[0]
+    n_all = ps.inference_x.shape[0]
+    train_graph = build_graph(ps.training_edge_index, n_old)
+    inf_graph = build_graph(ps.inference_edge_index, n_all)
+    train_x = jnp.asarray(ps.training_x)
+    inf_x = jnp.asarray(ps.inference_x)
+
+    # Training positives = the (symmetric) message edges, like the reference's
+    # pos_train_edge = data.edge_index.t() (train_teacher_gnn.py:26-27).
+    pos_edges = jnp.asarray(ps.training_edge_index.T.astype(np.int32))
+    if n_old <= MAX_EXACT_NODES:
+        neg_keys = jnp.asarray(edge_hash_keys(ps.training_edge_index, n_old))
+    else:
+        neg_keys = jnp.zeros((1,), jnp.int32)
+
+    test_edges = {
+        "merged": jnp.asarray(ps.test_merged.T.astype(np.int32)),
+        "old_old": jnp.asarray(ps.test_old_old.T.astype(np.int32)),
+        "old_new": jnp.asarray(ps.test_old_new.T.astype(np.int32)),
+        "new_new": jnp.asarray(ps.test_new_new.T.astype(np.int32)),
+        "neg": jnp.asarray(ps.negative_samples.T.astype(np.int32)),
+    }
+    return dict(
+        ds=ds,
+        ps=ps,
+        graph=train_graph,
+        x=train_x,
+        inf_graph=inf_graph,
+        inf_x=inf_x,
+        pos_edges=pos_edges,
+        neg_keys=neg_keys,
+        val_pos=jnp.asarray(ps.val_pos.T.astype(np.int32)),
+        val_neg=jnp.asarray(ps.val_neg.T.astype(np.int32)),
+        test_edges=test_edges,
+        num_pos=int(pos_edges.shape[0]),
+    )
+
+
+def _teacher_ckpt_path(cfg) -> str:
+    return os.path.join(
+        cfg.save_dir, f"{cfg.datasets}-{cfg.encoder}_{cfg.transductive}"
+    )
+
+
+def _results_path(cfg, kind: str) -> str:
+    return os.path.join(
+        cfg.results_dir, f"{cfg.datasets}_{kind}_{cfg.transductive}.txt"
+    )
+
+
+def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose=True):
+    """Train the supervised teacher; exports features + params at best val."""
+    cfg.finalize()
+    production = cfg.transductive == "production"
+    data = prepare_production(cfg) if production else prepare_transductive(cfg)
+    in_dim = int(data["x"].shape[1])
+    conv = _conv_variant(cfg)
+
+    epoch_fn, tx = make_teacher_epoch_fn(
+        encoder=cfg.encoder,
+        conv=conv,
+        predictor_mode=cfg.predictor,
+        dropout=cfg.dropout,
+        num_nodes=data["graph"].num_nodes,
+        num_pos_edges=data["num_pos"],
+        link_batch_size=cfg.batch_size,
+        neg_mode=cfg.neg_mode,
+        lr=cfg.lr,
+        spmm_impl=cfg.spmm_impl,
+    )
+    if production:
+        eval_fn = make_production_eval_fn(
+            encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
+            hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl,
+        )
+        loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
+        loggers["AUC"] = ProductionRunLogger(cfg.runs)
+    else:
+        eval_fn = make_transductive_eval_fn(
+            encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
+            hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl,
+        )
+        loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
+        loggers["AUC"] = RunLogger(cfg.runs)
+
+    epochs = max_epochs if max_epochs is not None else cfg.epochs
+    val_max = 0.0  # shared across runs (reference train_teacher_gnn.py:420)
+    t0 = time.time()
+
+    for run in range(cfg.runs):
+        key = jax.random.PRNGKey(run + cfg.seed_offset)
+        params = init_teacher_params(
+            jax.random.fold_in(key, 0),
+            encoder=cfg.encoder,
+            in_channels=in_dim,
+            hidden_channels=cfg.hidden_channels,
+            num_layers=cfg.num_layers,
+            predictor_mode=cfg.predictor,
+        )
+        opt_state = tx.init(params)
+        best_val, cnt_wait = 0.0, 0
+
+        for epoch in range(1, epochs + 1):
+            params, opt_state, loss = epoch_fn(
+                params, opt_state, jax.random.fold_in(key, epoch),
+                data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
+            )
+            if production:
+                results, h = eval_fn(
+                    params, data["graph"], data["x"], data["inf_graph"],
+                    data["inf_x"], data["val_pos"], data["val_neg"],
+                    data["test_edges"],
+                )
+            else:
+                ee = data["eval_edges"]
+                results, h = eval_fn(
+                    params, data["graph"], data["x"],
+                    ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
+                )
+            results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
+            val = results[cfg.metric][0]
+
+            if val > val_max:
+                val_max = val
+                if cfg.encoder != "mlp" and cfg.save_dir:
+                    save_checkpoint(
+                        _teacher_ckpt_path(cfg),
+                        {"params": params, "features": h},
+                        meta=dict(
+                            encoder=cfg.encoder,
+                            conv=conv,
+                            predictor=cfg.predictor,
+                            hidden_channels=cfg.hidden_channels,
+                            num_layers=cfg.num_layers,
+                            predictor_layers=2,
+                            dataset=cfg.datasets,
+                            setting=cfg.transductive,
+                            val=val,
+                        ),
+                    )
+            if val >= best_val:
+                best_val, cnt_wait = val, 0
+            else:
+                cnt_wait += 1
+            for k, v in results.items():
+                loggers[k].add_result(run, v)
+            if verbose and epoch % 50 == 0:
+                print(
+                    f"[teacher run {run} epoch {epoch}] loss={float(loss):.4f} "
+                    f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f}"
+                )
+            if cnt_wait >= cfg.patience:
+                break
+
+    stats = {k: lg.statistics() for k, lg in loggers.items()}
+    if cfg.results_dir:
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        with open(_results_path(cfg, "supervised"), "a") as f:
+            f.write(str(asdict(cfg)) + "\n")
+            f.write(f"{cfg.encoder} as the encoder\n")
+            for k, s in stats.items():
+                f.write(f"{k}: {s}\n")
+    if verbose:
+        print(f"teacher done in {time.time() - t0:.1f}s: {stats.get(cfg.metric)}")
+    return stats, loggers
+
+
+def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose=True):
+    """Distill an MLP student from saved teacher artifacts (LLP)."""
+    cfg.finalize()
+    production = cfg.transductive == "production"
+    data = prepare_production(cfg) if production else prepare_transductive(cfg)
+    in_dim = int(data["x"].shape[1])
+    n = data["graph"].num_nodes
+
+    ckpt, meta = load_checkpoint(_teacher_ckpt_path(cfg))
+    t_params, t_h = ckpt["params"], jnp.asarray(ckpt["features"])
+    teacher_pred = t_params["predictor"]
+
+    node_bs = cfg.coupled_node_batch_size(n, data["num_pos"])
+
+    epoch_fn, tx = make_student_epoch_fn(
+        num_nodes=n,
+        num_pos_edges=data["num_pos"],
+        link_batch_size=cfg.link_batch_size,
+        node_batch_size=node_bs,
+        predictor_mode=cfg.predictor,
+        dropout=cfg.dropout,
+        lr=cfg.lr,
+        true_label=cfg.true_label,
+        kd_rm=cfg.kd_rm,
+        kd_lm=cfg.kd_lm,
+        llp_d=cfg.llp_d,
+        llp_r=cfg.llp_r,
+        margin=cfg.margin,
+        rw_step=cfg.rw_step,
+        hops=cfg.hops,
+        ns_rate=cfg.ns_rate,
+        ps_method=cfg.ps_method,
+        neg_mode=cfg.neg_mode,
+        minibatch=cfg.minibatch,
+    )
+    if production:
+        eval_fn = make_production_eval_fn(
+            encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks
+        )
+        loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
+        loggers["AUC"] = ProductionRunLogger(cfg.runs)
+    else:
+        eval_fn = make_transductive_eval_fn(
+            encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks
+        )
+        loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
+        loggers["AUC"] = RunLogger(cfg.runs)
+
+    epochs = max_epochs if max_epochs is not None else cfg.epochs
+    t0 = time.time()
+
+    for run in range(cfg.runs):
+        key = jax.random.PRNGKey(run + 1 + cfg.seed_offset)  # student: run+1
+        params = init_student_params(
+            jax.random.fold_in(key, 0),
+            in_channels=in_dim,
+            hidden_channels=cfg.hidden_channels,
+            num_layers=cfg.num_layers,
+            predictor_mode=cfg.predictor,
+        )
+        opt_state = tx.init(params)
+        best_val, cnt_wait = 0.0, 0
+
+        for epoch in range(1, epochs + 1):
+            params, opt_state, loss = epoch_fn(
+                params, opt_state, jax.random.fold_in(key, epoch),
+                data["graph"], data["x"], t_h, teacher_pred,
+                data["pos_edges"], data["neg_keys"],
+            )
+            if production:
+                results, _ = eval_fn(
+                    params, data["graph"], data["x"], data["inf_graph"],
+                    data["inf_x"], data["val_pos"], data["val_neg"],
+                    data["test_edges"],
+                )
+            else:
+                ee = data["eval_edges"]
+                results, _ = eval_fn(
+                    params, data["graph"], data["x"],
+                    ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
+                )
+            results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
+            val = results[cfg.metric][0]
+            if val >= best_val:
+                best_val, cnt_wait = val, 0
+            else:
+                cnt_wait += 1
+            for k, v in results.items():
+                loggers[k].add_result(run, v)
+            if verbose and epoch % 50 == 0:
+                print(
+                    f"[student run {run} epoch {epoch}] loss={float(loss):.4f} "
+                    f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f}"
+                )
+            if cnt_wait >= cfg.patience:
+                break
+
+    stats = {k: lg.statistics() for k, lg in loggers.items()}
+    if cfg.results_dir:
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        with open(_results_path(cfg, "KD"), "a") as f:
+            f.write(str(asdict(cfg)) + "\n")
+            if cfg.llp_d != 0 or cfg.llp_r != 0:
+                f.write("LLP (Relational Distillation)\n")
+            for k, s in stats.items():
+                f.write(f"{k}: {s}\n")
+    if verbose:
+        print(f"student done in {time.time() - t0:.1f}s: {stats.get(cfg.metric)}")
+    return stats, loggers

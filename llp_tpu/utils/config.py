@@ -1,0 +1,118 @@
+"""Typed experiment configurations — the reference's argparse flag surface
+(reference ``src/main.py:239-270`` and ``src/train_teacher_gnn.py:271-290``)
+as dataclasses, loadable from YAML and overridable from the CLI.
+
+Dataset-dependent overrides the reference hardcodes are applied by
+``finalize()``: the selection metric (Hits@20, Hits@50 for collab —
+main.py:304,315), the hits cutoffs, dense-vs-uniform negatives, and the
+node/link batch coupling ``node_batch_size = N / (E_train / link_batch_size)``
+(main.py:335,348).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+
+def _hits_ks(dataset: str) -> Tuple[int, ...]:
+    return (10, 50, 100) if dataset == "collab" else (10, 20, 30, 50)
+
+
+@dataclass
+class CommonConfig:
+    encoder: str = "sage"
+    num_layers: int = 2
+    hidden_channels: int = 256
+    dropout: float = 0.5
+    lr: float = 0.005
+    epochs: int = 20000
+    eval_steps: int = 5
+    runs: int = 10
+    dataset_dir: str = "./data"
+    datasets: str = "cora"
+    predictor: str = "mlp"  # 'inner' | 'mlp'
+    patience: int = 100
+    metric: str = "Hits@20"
+    use_valedges_as_input: bool = False
+    transductive: str = "transductive"  # 'transductive' | 'production'
+    minibatch: bool = False
+    seed_offset: int = 0  # teacher seeds run+0, student run+1 (reference)
+    results_dir: str = "./results"
+    spmm_impl: str = "xla"
+
+    @property
+    def hits_ks(self) -> Tuple[int, ...]:
+        return _hits_ks(self.datasets)
+
+    @property
+    def neg_mode(self) -> str:
+        return "uniform" if self.datasets == "collab" else "dense"
+
+    def finalize(self):
+        if self.transductive == "transductive":
+            self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
+        else:
+            self.metric = "Hits@20"
+        return self
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides):
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        d.update(overrides)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+@dataclass
+class TeacherConfig(CommonConfig):
+    batch_size: int = 64 * 1024
+    runs: int = 5
+    save_dir: str = "./saved"
+
+    def node_link_coupling(self, num_nodes: int, num_train_edges: int) -> int:
+        raise NotImplementedError  # teacher has no node loader
+
+
+@dataclass
+class StudentConfig(CommonConfig):
+    link_batch_size: int = 64 * 1024
+    node_batch_size: int = 64 * 1024
+    true_label: float = 0.1
+    kd_rm: float = 0.0
+    kd_lm: float = 0.0
+    llp_d: float = 1.0
+    llp_r: float = 1.0
+    margin: float = 0.1
+    rw_step: int = 3
+    ns_rate: int = 1
+    hops: int = 2
+    ps_method: str = "nb"  # 'rw' | 'nb'
+    save_dir: str = "./saved"
+
+    def coupled_node_batch_size(self, num_nodes: int, num_train_edges: int) -> int:
+        """main.py:335 — node loader must not run dry before the link loader."""
+        return max(
+            1, int(num_nodes / (num_train_edges / min(self.link_batch_size, num_train_edges)))
+        )
+
+
+@dataclass
+class SplitConfig:
+    """Production splitter ratios (reference train_teacher_gnn.py:352-365)."""
+
+    test_ratio: float = 0.1
+    val_node_ratio: float = 0.1
+    val_ratio: float = 0.1
+    old_old_extra_ratio: float = 0.1
+    seed: int = 234
+
+    @classmethod
+    def for_dataset(cls, name: str) -> "SplitConfig":
+        if name in ("cora", "citeseer"):
+            return cls(test_ratio=0.3, val_node_ratio=0.3, val_ratio=0.3)
+        return cls()
