@@ -1,0 +1,72 @@
+"""Shared CLI plumbing: argparse surfaces mirroring the reference flags
+(reference ``src/main.py:239-270``, ``src/train_teacher_gnn.py:271-290``),
+plus YAML config loading and device selection."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", type=str, default=None, help="YAML config file")
+    p.add_argument("--device", type=str, default="auto",
+                   help="'auto' (TPU if present), 'cpu', or 'cpu:N' for an "
+                        "N-device virtual mesh")
+    p.add_argument("--log_steps", type=int, default=1)
+    p.add_argument("--encoder", type=str, default="sage",
+                   choices=["sage", "gcn", "mlp"])
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--hidden_channels", type=int, default=256)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=0.005)
+    p.add_argument("--epochs", type=int, default=20000)
+    p.add_argument("--eval_steps", type=int, default=5)
+    p.add_argument("--dataset_dir", type=str, default="./data")
+    p.add_argument("--datasets", type=str, default="cora")
+    p.add_argument("--predictor", type=str, default="mlp", choices=["inner", "mlp"])
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--metric", type=str, default="Hits@20")
+    p.add_argument("--use_valedges_as_input", action="store_true")
+    p.add_argument("--transductive", type=str, default="transductive",
+                   choices=["transductive", "production"])
+    p.add_argument("--minibatch", action="store_true")
+    p.add_argument("--results_dir", type=str, default="./results")
+    p.add_argument("--save_dir", type=str, default="./saved")
+    p.add_argument("--spmm_impl", type=str, default="xla", choices=["xla", "pallas"])
+
+
+def setup_device(spec: str) -> None:
+    """Honor --device before any jax computation."""
+    import jax
+
+    if spec == "auto":
+        return
+    if spec == "cpu" or spec.startswith("cpu:"):
+        import os
+
+        if ":" in spec:
+            n = int(spec.split(":")[1])
+            flags = os.environ.get("XLA_FLAGS", "")
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={n}".strip()
+            )
+        jax.config.update("jax_platforms", "cpu")
+        return
+    raise SystemExit(f"unknown --device {spec!r}")
+
+
+def config_from_args(cls, args: argparse.Namespace, rename: dict):
+    """Build a config dataclass from parsed args (+ optional YAML base)."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    d = {}
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            d.update(yaml.safe_load(f) or {})
+    for k, v in vars(args).items():
+        k2 = rename.get(k, k)
+        if k2 in names:
+            d[k2] = v
+    return cls(**{k: v for k, v in d.items() if k in names})

@@ -1,0 +1,110 @@
+"""Multi-device (8 virtual CPU devices) tests for the sharded training path —
+the CPU-mesh "fake backend" gate (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llp_tpu.core import build_graph
+from llp_tpu.data.synthetic import sbm_graph
+from llp_tpu.ops import spmm
+from llp_tpu.parallel import (
+    make_mesh,
+    make_sharded_spmm,
+    make_sharded_student_step,
+    make_sharded_teacher_step,
+    shard_edges,
+)
+from llp_tpu.train.student import init_student_params
+from llp_tpu.train.teacher import init_teacher_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ei, comm = sbm_graph(96, 4, 6.0, seed=2)
+    g = build_graph(ei, 96)
+    g = shard_edges(g, 8)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(96, 32)), jnp.float32)
+    return g, x
+
+
+def test_sharded_spmm_matches_single_device(setup):
+    g, x = setup
+    mesh = make_mesh(8)
+    sh_spmm = make_sharded_spmm(mesh, g.num_nodes)
+    for reduce in ("sum", "mean"):
+        ref = np.asarray(spmm(g, x, reduce))
+        out = np.asarray(
+            sh_spmm(g.senders, g.receivers, g.edge_mask, g.in_degree, x, reduce)
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_sharded_teacher_step_runs_and_learns(setup):
+    g, x = setup
+    mesh = make_mesh(8)
+    step_fn, tx = make_sharded_teacher_step(
+        mesh, num_nodes=g.num_nodes, dropout=0.0, lr=0.01
+    )
+    params = init_teacher_params(
+        jax.random.PRNGKey(0), encoder="sage", in_channels=32,
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(3)
+    b = 64  # 8 per device
+    pos = jnp.asarray(np.asarray(jax.device_get(g.senders))[:b].reshape(b, 1))
+    pos = jnp.concatenate([pos, jnp.asarray(np.asarray(jax.device_get(g.receivers))[:b].reshape(b, 1))], axis=1)
+    neg = jnp.asarray(rng.integers(0, g.num_nodes, size=(b, 2)), jnp.int32)
+    mask = jnp.ones((b,), bool)
+
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step_fn(
+            params, opt_state, jax.random.PRNGKey(i), g.senders, g.receivers,
+            g.edge_mask, g.in_degree, x, pos, neg, mask,
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # optimizes
+
+
+def test_sharded_student_step_runs(setup):
+    g, x = setup
+    mesh = make_mesh(8)
+    step_fn, tx = make_sharded_student_step(
+        mesh, num_nodes=g.num_nodes, dropout=0.0, lr=0.01,
+        rw_step=2, hops=2, ns_rate=1,
+    )
+    params = init_student_params(
+        jax.random.PRNGKey(0), in_channels=32, hidden_channels=16,
+        num_layers=2, predictor_mode="mlp",
+    )
+    teacher = init_teacher_params(
+        jax.random.PRNGKey(1), encoder="sage", in_channels=32,
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    t_h = jnp.asarray(np.random.default_rng(2).normal(size=(96, 16)), jnp.float32)
+    opt_state = tx.init(params)
+
+    anchors = jnp.arange(32, dtype=jnp.int32)
+    amask = jnp.ones((32,), bool)
+    pos = jnp.stack(
+        [g.senders[:32].astype(jnp.int32), g.receivers[:32].astype(jnp.int32)], axis=1
+    )
+    neg = jnp.asarray(
+        np.random.default_rng(4).integers(0, 96, size=(32, 2)), jnp.int32
+    )
+    bmask = jnp.ones((32,), bool)
+
+    params, opt_state, loss = step_fn(
+        params, opt_state, jax.random.PRNGKey(5), g, x, t_h,
+        teacher["predictor"], anchors, amask, pos, neg, bmask,
+    )
+    assert np.isfinite(float(loss))
