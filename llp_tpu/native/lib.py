@@ -1,0 +1,157 @@
+"""ctypes bindings + lazy g++ build for the native sampler."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sampler.cpp")
+_SO = os.path.join(_HERE, "_libllpsampler.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        "-std=c++17", "-pthread", _SRC, "-o", _SO,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.llp_random_walks.argtypes = [
+                i32p, i32p, ctypes.c_int32, i32p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_uint64, i32p,
+            ]
+            lib.llp_sample_negative_edges.argtypes = [
+                i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, i32p, i32p,
+            ]
+            lib.llp_build_csr_perm.argtypes = [
+                i32p, ctypes.c_int64, ctypes.c_int32, i32p, i64p,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _build() is not None
+
+
+def random_walks(
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    starts: np.ndarray,
+    walk_length: int,
+    seed: int,
+) -> np.ndarray:
+    """(B, walk_length+1) uniform walks; isolated nodes stay in place."""
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    starts = np.ascontiguousarray(starts, np.int32)
+    out = np.empty((starts.shape[0], walk_length + 1), np.int32)
+    lib = _build()
+    if lib is not None:
+        lib.llp_random_walks(
+            row_ptr, col, np.int32(row_ptr.shape[0] - 1), starts,
+            np.int64(starts.shape[0]), np.int32(walk_length), np.uint64(seed), out,
+        )
+        return out
+    # numpy fallback
+    rng = np.random.default_rng(seed)
+    cur = starts.copy()
+    out[:, 0] = cur
+    deg_all = row_ptr[1:] - row_ptr[:-1]
+    for s in range(walk_length):
+        deg = deg_all[cur]
+        off = (rng.random(cur.shape[0]) * deg).astype(np.int64)
+        nxt = col[row_ptr[cur] + np.minimum(off, np.maximum(deg - 1, 0))]
+        cur = np.where(deg > 0, nxt, cur).astype(np.int32)
+        out[:, s + 1] = cur
+    return out
+
+
+def sample_negative_edges(
+    sorted_keys: np.ndarray,
+    num_nodes: int,
+    num_samples: int,
+    seed: int,
+    *,
+    force_undirected: bool = False,
+    max_rounds: int = 16,
+) -> np.ndarray:
+    """(2, num_samples) pairs avoiding the sorted int64 key set.
+
+    Unlike the on-device sampler (int32-keyed, N <= 46340), this handles any
+    node count — the host path for collab-scale graphs.
+    """
+    sorted_keys = np.ascontiguousarray(sorted_keys, np.int64)
+    src = np.empty((num_samples,), np.int32)
+    dst = np.empty((num_samples,), np.int32)
+    lib = _build()
+    if lib is not None:
+        lib.llp_sample_negative_edges(
+            sorted_keys, np.int64(sorted_keys.shape[0]), np.int64(num_nodes),
+            np.int64(num_samples), np.int32(bool(force_undirected)),
+            np.int32(max_rounds), np.uint64(seed), src, dst,
+        )
+        return np.stack([src, dst])
+    # numpy fallback (vectorized rejection)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, num_nodes, num_samples)
+    b = rng.integers(0, num_nodes, num_samples)
+    for _ in range(max_rounds):
+        if force_undirected:
+            bad_sym = a >= b
+        else:
+            bad_sym = np.zeros(num_samples, bool)
+        keys = a * num_nodes + b
+        idx = np.clip(np.searchsorted(sorted_keys, keys), 0, max(sorted_keys.size - 1, 0))
+        bad = bad_sym | (sorted_keys.size > 0) & (sorted_keys[idx] == keys)
+        if not bad.any():
+            break
+        n_bad = int(bad.sum())
+        a[bad] = rng.integers(0, num_nodes, n_bad)
+        b[bad] = rng.integers(0, num_nodes, n_bad)
+    return np.stack([a.astype(np.int32), b.astype(np.int32)])
+
+
+def build_csr(
+    senders: np.ndarray, receivers: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(row_ptr, col) CSR sorted stably by sender."""
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    e = senders.shape[0]
+    lib = _build()
+    if lib is not None:
+        row_ptr = np.empty((num_nodes + 1,), np.int32)
+        perm = np.empty((e,), np.int64)
+        lib.llp_build_csr_perm(senders, np.int64(e), np.int32(num_nodes), row_ptr, perm)
+        return row_ptr, receivers[perm]
+    order = np.argsort(senders, kind="stable")
+    counts = np.bincount(senders, minlength=num_nodes)
+    row_ptr = np.zeros((num_nodes + 1,), np.int32)
+    row_ptr[1:] = np.cumsum(counts).astype(np.int32)
+    return row_ptr, receivers[order]

@@ -1,0 +1,153 @@
+// Host-side graph sampling library for llp_tpu.
+//
+// Native replacement for the C++/CUDA sampling machinery the reference leans
+// on (torch_cluster.random_walk at reference src/main.py:37-45, PyG
+// negative_sampling at main.py:81): CSR uniform random walks and
+// exclusion-set negative edge sampling, exposed as extern "C" for ctypes.
+// These feed the host->device input pipeline for graphs whose node count
+// exceeds the on-device int32 exact-key limit (e.g. ogbl-collab), and serve
+// as the CPU half of the data loader generally.
+//
+// Determinism: all entry points take an explicit 64-bit seed; each logical
+// unit (walk / sample slot) derives its own splitmix64 stream, so results are
+// independent of thread scheduling.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// splitmix64: tiny, high-quality, seedable per-unit stream.
+struct SplitMix64 {
+  uint64_t state;
+  explicit SplitMix64(uint64_t s) : state(s) {}
+  uint64_t next() {
+    uint64_t z = (state += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  // Unbiased bounded draw (Lemire).
+  uint64_t bounded(uint64_t n) {
+    if (n == 0) return 0;
+    __uint128_t m = (__uint128_t)next() * n;
+    uint64_t lo = (uint64_t)m;
+    if (lo < n) {
+      uint64_t t = (-n) % n;
+      while (lo < t) {
+        m = (__uint128_t)next() * n;
+        lo = (uint64_t)m;
+      }
+    }
+    return (uint64_t)(m >> 64);
+  }
+};
+
+void parallel_for(int64_t n, int64_t grain,
+                  const std::function<void(int64_t, int64_t)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nthreads = hw ? (int64_t)hw : 1;
+  if (n < grain * 2 || nthreads <= 1) {
+    fn(0, n);
+    return;
+  }
+  nthreads = std::min<int64_t>(nthreads, (n + grain - 1) / grain);
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+inline bool key_member(const int64_t* sorted, int64_t n, int64_t key) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (sorted[mid] < key)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return lo < n && sorted[lo] == key;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Uniform random walks over CSR (row_ptr, col). Isolated nodes stay put
+// (torch_cluster padding behavior). out is (n_starts, walk_len + 1) row-major.
+void llp_random_walks(const int32_t* row_ptr, const int32_t* col,
+                      int32_t /*n_nodes*/, const int32_t* starts,
+                      int64_t n_starts, int32_t walk_len, uint64_t seed,
+                      int32_t* out) {
+  parallel_for(n_starts, 1024, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      SplitMix64 rng(seed * 0x100000001b3ULL + (uint64_t)i * 0x9e3779b9ULL);
+      int32_t cur = starts[i];
+      int32_t* row = out + i * (walk_len + 1);
+      row[0] = cur;
+      for (int32_t s = 0; s < walk_len; ++s) {
+        int32_t beg = row_ptr[cur], end = row_ptr[cur + 1];
+        int32_t deg = end - beg;
+        if (deg > 0) cur = col[beg + (int32_t)rng.bounded((uint64_t)deg)];
+        row[s + 1] = cur;
+      }
+    }
+  });
+}
+
+// Negative edge sampling: uniform (src, dst) proposals rejected against a
+// sorted int64 key array (key = src * num_nodes + dst). max_rounds bounds the
+// per-slot retry count; leftover collisions (vanishing probability) are kept.
+// force_undirected: propose src < dst only (no self-loops).
+void llp_sample_negative_edges(const int64_t* sorted_keys, int64_t n_keys,
+                               int64_t num_nodes, int64_t n_samples,
+                               int32_t force_undirected, int32_t max_rounds,
+                               uint64_t seed, int32_t* out_src,
+                               int32_t* out_dst) {
+  parallel_for(n_samples, 4096, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      SplitMix64 rng(seed * 0x51afd6edULL + (uint64_t)i * 0x9e3779b9ULL);
+      int64_t a = 0, b = 0;
+      for (int32_t r = 0; r < max_rounds; ++r) {
+        a = (int64_t)rng.bounded((uint64_t)num_nodes);
+        b = (int64_t)rng.bounded((uint64_t)num_nodes);
+        if (force_undirected) {
+          if (a == b) continue;
+          if (a > b) std::swap(a, b);
+        }
+        if (!key_member(sorted_keys, n_keys, a * num_nodes + b)) break;
+      }
+      out_src[i] = (int32_t)a;
+      out_dst[i] = (int32_t)b;
+    }
+  });
+}
+
+// CSR construction from an edge list (senders array), counts pre-zeroed.
+// Returns via row_ptr (n_nodes + 1) and perm (E) = ordering of edges sorted
+// stably by sender; col[i] = receivers[perm[i]] is then done by the caller
+// (numpy fancy-indexing is fast enough; the counting sort is the slow part).
+void llp_build_csr_perm(const int32_t* senders, int64_t n_edges,
+                        int32_t n_nodes, int32_t* row_ptr, int64_t* perm) {
+  std::vector<int64_t> counts((size_t)n_nodes + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) counts[(size_t)senders[e] + 1]++;
+  for (int32_t v = 0; v < n_nodes; ++v) counts[(size_t)v + 1] += counts[v];
+  for (int32_t v = 0; v <= n_nodes; ++v) row_ptr[v] = (int32_t)counts[v];
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    perm[cursor[(size_t)senders[e]]++] = e;
+  }
+}
+
+}  // extern "C"

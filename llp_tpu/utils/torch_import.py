@@ -1,0 +1,108 @@
+"""Import reference (PyTorch) weights into llp_tpu param pytrees.
+
+The BASELINE.md parity gate calls for per-layer activation allclose against
+the reference with identical weights.  The reference saves
+``{'gnn': state_dict, 'predictor': state_dict}`` pickles
+(reference ``src/train_teacher_gnn.py:452``); these converters map those
+state_dicts (torch Linear stores weight as (out, in)) onto our (in, out)
+layout.  Works on any mapping of name -> array-like (torch tensors or numpy),
+so tests can exercise it without real reference artifacts.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _w(value) -> jnp.ndarray:
+    a = np.asarray(getattr(value, "detach", lambda: value)())
+    return jnp.asarray(a.T.copy())  # torch (out, in) -> ours (in, out)
+
+
+def _b(value) -> jnp.ndarray:
+    a = np.asarray(getattr(value, "detach", lambda: value)())
+    return jnp.asarray(a.copy())
+
+
+def import_mlp(state: Mapping[str, object], num_layers: int) -> dict:
+    """Reference MLP state_dict: layers.{i}.weight/.bias (models.py:6-54)."""
+    layers = []
+    for i in range(num_layers):
+        layers.append(
+            {"w": _w(state[f"layers.{i}.weight"]), "b": _b(state[f"layers.{i}.bias"])}
+        )
+    return {"layers": layers, "norms": []}
+
+
+def import_link_predictor(state: Mapping[str, object], num_layers: int) -> dict:
+    """Reference LinkPredictor state_dict: lins.{i}.weight/.bias
+    (models.py:121-150)."""
+    lins = []
+    for i in range(num_layers):
+        lins.append(
+            {"w": _w(state[f"lins.{i}.weight"]), "b": _b(state[f"lins.{i}.bias"])}
+        )
+    return {"lins": lins}
+
+
+def import_sage(state: Mapping[str, object], num_layers: int) -> dict:
+    """PyG SAGEConv state_dict: convs.{i}.lin_l.weight/.bias + lin_r.weight.
+
+    Both PyG SAGEConv and the reference's SAGEConv_updated use the same
+    parameter names (lin_l has bias, lin_r does not); only the forward order
+    differs (aggregate-then-linear vs linear-then-aggregate), which is a
+    ``conv=`` choice at apply time, not an import-time concern.
+    """
+    convs = []
+    for i in range(num_layers):
+        convs.append(
+            {
+                "lin_l": {
+                    "w": _w(state[f"convs.{i}.lin_l.weight"]),
+                    "b": _b(state[f"convs.{i}.lin_l.bias"]),
+                },
+                "lin_r": {"w": _w(state[f"convs.{i}.lin_r.weight"])},
+            }
+        )
+    return {"convs": convs}
+
+
+def import_gcn(state: Mapping[str, object], num_layers: int) -> dict:
+    """PyG GCNConv state_dict: convs.{i}.lin.weight (no transpose in PyG's
+    dense Linear? PyG stores (out, in) like torch) + convs.{i}.bias."""
+    convs = []
+    for i in range(num_layers):
+        convs.append(
+            {
+                "lin": {
+                    "w": _w(state[f"convs.{i}.lin.weight"]),
+                    "b": _b(state[f"convs.{i}.bias"]),
+                }
+            }
+        )
+    return {"convs": convs}
+
+
+def import_teacher_pickle(path: str, *, encoder: str, num_layers: int) -> dict:
+    """Load a reference ../saved-models pickle into {'encoder','predictor'}.
+
+    Requires torch (the pickle holds tensors); predictor depth is the
+    reference's hardcoded 2 (train_teacher_gnn.py:391-392).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu")
+    enc_state = blob["gnn"]
+    pred_state = blob["predictor"]
+    if encoder == "sage":
+        enc = import_sage(enc_state, num_layers)
+    elif encoder == "gcn":
+        enc = import_gcn(enc_state, num_layers)
+    elif encoder == "mlp":
+        enc = import_mlp(enc_state, num_layers)
+    else:
+        raise ValueError(f"unknown encoder {encoder!r}")
+    return {"encoder": enc, "predictor": import_link_predictor(pred_state, 2)}
