@@ -69,6 +69,10 @@ class Graph:
     out_degree: jnp.ndarray
     num_nodes: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
+    # Static identity token (assigned by build_graph): lets kernel-side caches
+    # (e.g. the Pallas SpMM tile cache) key a graph even while it is a tracer
+    # inside jit.
+    cache_token: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def num_padded_edges(self) -> int:
@@ -124,6 +128,10 @@ def build_graph(
     out_degree = counts.astype(np.int32)
     in_degree = np.bincount(receivers[:e], minlength=num_nodes).astype(np.int32)
 
+    global _NEXT_TOKEN
+    token = _NEXT_TOKEN
+    _NEXT_TOKEN += 1
+
     return Graph(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
@@ -134,7 +142,11 @@ def build_graph(
         out_degree=jnp.asarray(out_degree),
         num_nodes=int(num_nodes),
         num_edges=int(e),
+        cache_token=token,
     )
+
+
+_NEXT_TOKEN = 0
 
 
 def to_undirected_np(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:

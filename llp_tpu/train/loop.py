@@ -161,6 +161,12 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     data = prepare_production(cfg) if production else prepare_transductive(cfg)
     in_dim = int(data["x"].shape[1])
     conv = _conv_variant(cfg)
+    if cfg.spmm_impl == "pallas":
+        from llp_tpu.ops.pallas.spmm_kernel import prepare_pallas
+
+        prepare_pallas(data["graph"])
+        if production:
+            prepare_pallas(data["inf_graph"])
 
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder=cfg.encoder,
