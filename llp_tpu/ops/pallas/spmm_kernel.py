@@ -58,56 +58,101 @@ def build_tiles(
     senders: np.ndarray,
     num_nodes: int,
     edge_weight: Optional[np.ndarray] = None,
-) -> SpmmTiles:
-    """Host-side tiling of the (receiver, sender) adjacency."""
+    *,
+    min_tile_edges: int = 0,
+):
+    """Host-side tiling of the (receiver, sender) adjacency.
+
+    Edges landing in tiles with fewer than ``min_tile_edges`` entries are
+    split off into a residual COO list (returned separately) — the hybrid
+    path sends them through the XLA segment-sum instead of wasting a whole
+    MXU chunk on a near-empty tile.
+
+    Returns ``(tiles, res_recv, res_send, res_weight)``; the residual arrays
+    are empty when ``min_tile_edges == 0``.
+    """
     receivers = np.asarray(receivers, np.int64)
     senders = np.asarray(senders, np.int64)
     n_pad = ((num_nodes + TILE - 1) // TILE) * TILE
-    tr = receivers // TILE
-    tc = senders // TILE
-    order = np.lexsort((tc, tr))
-    tr, tc = tr[order], tc[order]
-    er = (receivers[order] % TILE).astype(np.int32)
-    ec = (senders[order] % TILE).astype(np.int32)
-    w = None if edge_weight is None else np.asarray(edge_weight, np.float32)[order]
+    w_all = None if edge_weight is None else np.asarray(edge_weight, np.float32)
 
-    e = tr.shape[0]
-    if e == 0:
+    empty_res = (
+        np.zeros((0,), np.int64),
+        np.zeros((0,), np.int64),
+        None if w_all is None else np.zeros((0,), np.float32),
+    )
+
+    def empty_tiles():
         return SpmmTiles(
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32),
             -jnp.ones((TILE_E, 1), jnp.int32),
-            None if w is None else jnp.zeros((TILE_E, 1), jnp.float32),
+            None if w_all is None else jnp.zeros((TILE_E, 1), jnp.float32),
             n_pad,
             n_pad,
         )
 
+    e_all = receivers.shape[0]
+    if e_all == 0:
+        return empty_tiles(), *empty_res
+
+    tr_all = receivers // TILE
+    tc_all = senders // TILE
+    order = np.lexsort((tc_all, tr_all))
+    recv_s, send_s = receivers[order], senders[order]
+    tr, tc = tr_all[order], tc_all[order]
+    w_s = None if w_all is None else w_all[order]
+
     key = tr * (n_pad // TILE) + tc
-    # chunk index within each (tr, tc) group
     group_start = np.r_[0, np.flatnonzero(np.diff(key)) + 1]
-    group_len = np.diff(np.r_[group_start, e])
+    group_len = np.diff(np.r_[group_start, e_all])
+
+    if min_tile_edges > 0:
+        dense_group = group_len >= min_tile_edges
+        edge_dense = np.repeat(dense_group, group_len)
+        res_recv = recv_s[~edge_dense]
+        res_send = send_s[~edge_dense]
+        res_w = None if w_s is None else w_s[~edge_dense]
+        recv_s, send_s = recv_s[edge_dense], send_s[edge_dense]
+        tr, tc = tr[edge_dense], tc[edge_dense]
+        if w_s is not None:
+            w_s = w_s[edge_dense]
+        group_start_sizes = group_len[dense_group]
+        group_start = np.r_[0, np.cumsum(group_start_sizes)[:-1]].astype(np.int64)
+        group_len = group_start_sizes
+    else:
+        res_recv, res_send, res_w = empty_res
+
+    e = recv_s.shape[0]
+    if e == 0:
+        return empty_tiles(), res_recv, res_send, res_w
+
+    er = (recv_s % TILE).astype(np.int32)
+    ec = (send_s % TILE).astype(np.int32)
+
+    # Vectorized chunk packing: edge j of group g goes to chunk
+    # chunk_base[g] + j // TILE_E, slot j % TILE_E.
     n_chunks_per_group = -(-group_len // TILE_E)
+    chunk_base = np.r_[0, np.cumsum(n_chunks_per_group)[:-1]].astype(np.int64)
     t_total = int(n_chunks_per_group.sum())
+    within = np.arange(e, dtype=np.int64) - np.repeat(group_start, group_len)
+    chunk_of_edge = np.repeat(chunk_base, group_len) + within // TILE_E
+    slot = within % TILE_E
 
     tile_rows = np.empty((t_total,), np.int32)
     tile_cols = np.empty((t_total,), np.int32)
-    coords = -np.ones((t_total, TILE_E), np.int32)
-    weights = np.zeros((t_total, TILE_E), np.float32) if w is not None else None
+    first_edge_of_chunk = np.searchsorted(chunk_of_edge, np.arange(t_total))
+    tile_rows[:] = tr[first_edge_of_chunk]
+    tile_cols[:] = tc[first_edge_of_chunk]
 
-    t = 0
-    for g, (gs, gl) in enumerate(zip(group_start, group_len)):
-        for c in range(int(n_chunks_per_group[g])):
-            lo = gs + c * TILE_E
-            hi = min(gs + gl, lo + TILE_E)
-            m = hi - lo
-            tile_rows[t] = tr[gs]
-            tile_cols[t] = tc[gs]
-            coords[t, :m] = er[lo:hi] * TILE + ec[lo:hi]
-            if weights is not None:
-                weights[t, :m] = w[lo:hi]
-            t += 1
+    coords = -np.ones((t_total * TILE_E,), np.int32)
+    coords[chunk_of_edge * TILE_E + slot] = er.astype(np.int32) * TILE + ec
+    weights = None
+    if w_s is not None:
+        weights = np.zeros((t_total * TILE_E,), np.float32)
+        weights[chunk_of_edge * TILE_E + slot] = w_s
 
-    return SpmmTiles(
+    tiles = SpmmTiles(
         jnp.asarray(tile_rows),
         jnp.asarray(tile_cols),
         jnp.asarray(coords.reshape(-1, 1)),
@@ -115,6 +160,7 @@ def build_tiles(
         n_pad,
         n_pad,
     )
+    return tiles, res_recv, res_send, res_w
 
 
 def _make_kernel(weighted: bool):
@@ -213,7 +259,13 @@ _TILE_CACHE: dict = {}
 _FN_CACHE: dict = {}
 
 
-def _graph_tiles(graph: Graph, transpose: bool) -> SpmmTiles:
+# Tiles below this fill go through the XLA segment-sum residual path instead
+# of a (mostly-empty) MXU chunk.
+MIN_TILE_EDGES = 16
+
+
+def _graph_tiles(graph: Graph, transpose: bool):
+    """Returns (tiles, res_recv, res_send) — hybrid dense/residual split."""
     key = (graph.cache_token, transpose)
     hit = _TILE_CACHE.get(key)
     if hit is not None:
@@ -230,9 +282,12 @@ def _graph_tiles(graph: Graph, transpose: bool) -> SpmmTiles:
     recv = np.asarray(jax.device_get(graph.receivers))[:e]
     if transpose:
         send, recv = recv, send
-    tiles = build_tiles(recv, send, graph.num_nodes)
-    _TILE_CACHE[key] = tiles
-    return tiles
+    tiles, res_recv, res_send, _ = build_tiles(
+        recv, send, graph.num_nodes, min_tile_edges=MIN_TILE_EDGES
+    )
+    out = (tiles, jnp.asarray(res_recv, jnp.int32), jnp.asarray(res_send, jnp.int32))
+    _TILE_CACHE[key] = out
+    return out
 
 
 def prepare_pallas(graph: Graph) -> None:
@@ -254,16 +309,22 @@ def _get_spmm_fn(graph: Graph, reduce: str):
     if hit is not None:
         return hit
 
-    tiles_f = _graph_tiles(graph, transpose=False)
-    tiles_b = _graph_tiles(graph, transpose=True)
+    tiles_f, res_recv_f, res_send_f = _graph_tiles(graph, transpose=False)
+    tiles_b, res_recv_b, res_send_b = _graph_tiles(graph, transpose=True)
     inv_deg = 1.0 / np.maximum(
         np.asarray(jax.device_get(graph.in_degree), np.float32), 1.0
     )
     inv_deg_dev = jnp.asarray(inv_deg)
     n = graph.num_nodes
 
+    def residual(recv, send, x):
+        if recv.shape[0] == 0:
+            return 0.0
+        msgs = jnp.take(x, send, axis=0).astype(jnp.float32)
+        return jax.ops.segment_sum(msgs, recv, num_segments=n)
+
     def fwd_impl(x):
-        out = spmm_tiles_apply(tiles_f, x, n)
+        out = spmm_tiles_apply(tiles_f, x, n) + residual(res_recv_f, res_send_f, x)
         if reduce == "mean":
             out = out * inv_deg_dev[:, None]
         return out.astype(x.dtype)
@@ -279,7 +340,7 @@ def _get_spmm_fn(graph: Graph, reduce: str):
         gf = g.astype(jnp.float32)
         if reduce == "mean":
             gf = gf * inv_deg_dev[:, None]
-        dx = spmm_tiles_apply(tiles_b, gf, n)
+        dx = spmm_tiles_apply(tiles_b, gf, n) + residual(res_recv_b, res_send_b, gf)
         return (dx.astype(g.dtype),)
 
     f.defvjp(f_fwd, f_bwd)

@@ -24,12 +24,21 @@ def graph300():
 
 def test_tiles_structure(graph300):
     g, ei = graph300
-    tiles = build_tiles(ei[1], ei[0], 300)  # receivers, senders
+    tiles, rr, rs, _ = build_tiles(ei[1], ei[0], 300)  # receivers, senders
     tr = np.asarray(tiles.tile_rows)
     assert (np.diff(tr) >= 0).all()  # sorted by output row-block
     coords = np.asarray(tiles.coords)
     n_real = int((coords >= 0).sum())
     assert n_real == ei.shape[1]
+    assert rr.size == 0 and rs.size == 0  # no residual at threshold 0
+
+
+def test_tiles_hybrid_residual(graph300):
+    g, ei = graph300
+    tiles, rr, rs, _ = build_tiles(ei[1], ei[0], 300, min_tile_edges=64)
+    n_tiled = int((np.asarray(tiles.coords) >= 0).sum())
+    assert n_tiled + rr.size == ei.shape[1]
+    assert rr.size > 0  # sparse tiles exist in this graph
 
 
 @pytest.mark.parametrize("reduce", ["sum", "mean"])
@@ -87,7 +96,7 @@ def test_pallas_through_sage(graph300):
 def test_nonmultiple_dims(graph300):
     # N=300 (not multiple of 128), D=50 (not multiple of 128): padding path.
     g, ei = graph300
-    tiles = build_tiles(ei[1], ei[0], 300)
+    tiles, _, _, _ = build_tiles(ei[1], ei[0], 300)
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(300, 50)), jnp.float32)
     out = np.asarray(spmm_tiles_apply(tiles, x, 300))
