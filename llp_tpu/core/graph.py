@@ -42,8 +42,10 @@ class Graph:
     Attributes
     ----------
     senders, receivers : (E_pad,) int32
-        COO edge list. Message on edge e flows senders[e] -> receivers[e].
-        Padded entries are (0, 0) with ``edge_mask`` False.
+        COO edge list, sorted by receiver (canonical order — fast sorted
+        scatter). Message on edge e flows senders[e] -> receivers[e].
+        Padded entries have sender 0, receiver ``num_nodes`` (out-of-range:
+        segment ops drop them natively) and ``edge_mask`` False.
     edge_mask : (E_pad,) bool
         True for real edges.
     row_ptr : (N + 1,) int32
@@ -51,6 +53,10 @@ class Graph:
         out-neighbors. Only real edges are covered (row_ptr[N] == num_edges).
     col : (E_pad,) int32
         CSR neighbor array (sorted by sender); padded tail repeats 0.
+    csr_row : (E_pad,) int32
+        Sender of each CSR-ordered edge (sorted ascending); padding is
+        ``num_nodes``. (csr_row, col) is the sender-sorted edge view — the
+        transposed-SpMM backward scatters into it sorted.
     in_degree : (N,) int32
         Number of real in-edges per node (aggregation fan-in).
     out_degree : (N,) int32
@@ -65,10 +71,16 @@ class Graph:
     edge_mask: jnp.ndarray
     row_ptr: jnp.ndarray
     col: jnp.ndarray
+    csr_row: jnp.ndarray
     in_degree: jnp.ndarray
     out_degree: jnp.ndarray
     num_nodes: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
+    # True when the COO arrays are sorted by receiver (build_graph's canonical
+    # order): lets the SpMM pass indices_are_sorted to the scatter, and makes
+    # (csr_row, col) the matching sender-sorted view for the transposed
+    # backward scatter.
+    receiver_sorted: bool = struct.field(pytree_node=False, default=False)
     # Static identity token (assigned by build_graph): lets kernel-side caches
     # (e.g. the Pallas SpMM tile cache) key a graph even while it is a tracer
     # inside jit.
@@ -115,18 +127,30 @@ def build_graph(
     if e_pad is None:
         e_pad = round_up(e, pad_to_multiple)
 
-    senders, receivers, mask = pad_edges(edge_index, e_pad)
+    send_real = edge_index[0].astype(np.int32)
+    recv_real = edge_index[1].astype(np.int32)
+
+    # Canonical COO order: sorted by receiver (sorted scatter on TPU).
+    r_order = np.argsort(recv_real, kind="stable")
+    senders = np.zeros((e_pad,), np.int32)
+    receivers = np.full((e_pad,), num_nodes, np.int32)  # pad = out-of-range
+    senders[:e] = send_real[r_order]
+    receivers[:e] = recv_real[r_order]
+    mask = np.zeros((e_pad,), bool)
+    mask[:e] = True
 
     # CSR by sender (stable sort keeps deterministic neighbor order).
-    order = np.argsort(senders[:e], kind="stable")
+    s_order = np.argsort(send_real, kind="stable")
     col = np.zeros((e_pad,), dtype=np.int32)
-    col[:e] = receivers[:e][order]
-    counts = np.bincount(senders[:e], minlength=num_nodes).astype(np.int64)
+    col[:e] = recv_real[s_order]
+    csr_row = np.full((e_pad,), num_nodes, np.int32)
+    csr_row[:e] = send_real[s_order]
+    counts = np.bincount(send_real, minlength=num_nodes).astype(np.int64)
     row_ptr = np.zeros((num_nodes + 1,), dtype=np.int32)
     row_ptr[1:] = np.cumsum(counts).astype(np.int32)
 
     out_degree = counts.astype(np.int32)
-    in_degree = np.bincount(receivers[:e], minlength=num_nodes).astype(np.int32)
+    in_degree = np.bincount(recv_real, minlength=num_nodes).astype(np.int32)
 
     global _NEXT_TOKEN
     token = _NEXT_TOKEN
@@ -138,10 +162,12 @@ def build_graph(
         edge_mask=jnp.asarray(mask),
         row_ptr=jnp.asarray(row_ptr),
         col=jnp.asarray(col),
+        csr_row=jnp.asarray(csr_row),
         in_degree=jnp.asarray(in_degree),
         out_degree=jnp.asarray(out_degree),
         num_nodes=int(num_nodes),
         num_edges=int(e),
+        receiver_sorted=True,
         cache_token=token,
     )
 

@@ -43,12 +43,16 @@ def shard_edges(graph: Graph, n_shards: int) -> Graph:
     if target == e_pad:
         return graph
     extra = target - e_pad
-    pad_i = onp.zeros((extra,), onp.int32)
+    n = graph.num_nodes
+    pad_zero = onp.zeros((extra,), onp.int32)
+    pad_n = onp.full((extra,), n, onp.int32)  # out-of-range: dropped by segops
     pad_b = onp.zeros((extra,), bool)
     import jax.numpy as jnp
 
     return graph.replace(
-        senders=jnp.concatenate([graph.senders, jnp.asarray(pad_i)]),
-        receivers=jnp.concatenate([graph.receivers, jnp.asarray(pad_i)]),
+        senders=jnp.concatenate([graph.senders, jnp.asarray(pad_zero)]),
+        receivers=jnp.concatenate([graph.receivers, jnp.asarray(pad_n)]),
         edge_mask=jnp.concatenate([graph.edge_mask, jnp.asarray(pad_b)]),
+        col=jnp.concatenate([graph.col, jnp.asarray(pad_zero)]),
+        csr_row=jnp.concatenate([graph.csr_row, jnp.asarray(pad_n)]),
     )

@@ -199,7 +199,32 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     val_max = 0.0  # shared across runs (reference train_teacher_gnn.py:420)
     t0 = time.time()
 
-    for run in range(cfg.runs):
+    from llp_tpu.train.state import load_run_state, save_run_state
+    from llp_tpu.utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
+    state_path = _teacher_ckpt_path(cfg) + "_trainstate"
+    resume_run, resume_epoch, resume_state = 0, 0, None
+    if cfg.resume:
+        probe_params = init_teacher_params(
+            jax.random.PRNGKey(0), encoder=cfg.encoder, in_channels=in_dim,
+            hidden_channels=cfg.hidden_channels, num_layers=cfg.num_layers,
+            predictor_mode=cfg.predictor,
+        )
+        snap = load_run_state(state_path, tx.init(probe_params))
+        if snap is not None:
+            r_params, r_opt, meta = snap
+            resume_run, resume_epoch = meta["run"], meta["epoch"]
+            val_max = meta["val_max"]
+            resume_state = (r_params, r_opt, meta)
+            for k, histories in meta["logger_results"].items():
+                if k in loggers:
+                    for r, hist in enumerate(histories):
+                        loggers[k].results[r] = [tuple(t) for t in hist]
+            if verbose:
+                print(f"resuming from run {resume_run} epoch {resume_epoch}")
+
+    for run in range(resume_run, cfg.runs):
         key = jax.random.PRNGKey(run + cfg.seed_offset)
         params = init_teacher_params(
             jax.random.fold_in(key, 0),
@@ -211,8 +236,15 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         )
         opt_state = tx.init(params)
         best_val, cnt_wait = 0.0, 0
+        epoch_start = 1
+        if resume_state is not None and run == resume_run:
+            params, opt_state, meta = resume_state
+            best_val, cnt_wait = meta["best_val"], meta["cnt_wait"]
+            epoch_start = resume_epoch + 1
+            resume_state = None
 
-        for epoch in range(1, epochs + 1):
+        for epoch in range(epoch_start, epochs + 1):
+            meter.start_epoch()
             params, opt_state, loss = epoch_fn(
                 params, opt_state, jax.random.fold_in(key, epoch),
                 data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
@@ -230,6 +262,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                     ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
                 )
             results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
+            meter.end_epoch()
             val = results[cfg.metric][0]
 
             if val > val_max:
@@ -259,12 +292,21 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             if verbose and epoch % 50 == 0:
                 print(
                     f"[teacher run {run} epoch {epoch}] loss={float(loss):.4f} "
-                    f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f}"
+                    f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f} "
+                    f"({meter.edges_per_sec:.0f} edges/s)"
+                )
+            if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                save_run_state(
+                    state_path, params=params, opt_state=opt_state, run=run,
+                    epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
+                    val_max=val_max,
+                    logger_results={k: lg.results for k, lg in loggers.items()},
                 )
             if cnt_wait >= cfg.patience:
                 break
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}
+    perf = meter.summary()
     if cfg.results_dir:
         os.makedirs(cfg.results_dir, exist_ok=True)
         with open(_results_path(cfg, "supervised"), "a") as f:
@@ -272,8 +314,12 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             f.write(f"{cfg.encoder} as the encoder\n")
             for k, s in stats.items():
                 f.write(f"{k}: {s}\n")
+            f.write(f"perf: {perf}\n")
     if verbose:
-        print(f"teacher done in {time.time() - t0:.1f}s: {stats.get(cfg.metric)}")
+        print(
+            f"teacher done in {time.time() - t0:.1f}s: {stats.get(cfg.metric)} "
+            f"perf={perf}"
+        )
     return stats, loggers
 
 
@@ -328,7 +374,33 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
     epochs = max_epochs if max_epochs is not None else cfg.epochs
     t0 = time.time()
 
-    for run in range(cfg.runs):
+    from llp_tpu.train.state import load_run_state, save_run_state
+    from llp_tpu.utils.profiling import ThroughputMeter
+
+    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
+    state_path = os.path.join(
+        cfg.save_dir, f"{cfg.datasets}-student_{cfg.transductive}_trainstate"
+    )
+    resume_run, resume_epoch, resume_state = 0, 0, None
+    if cfg.resume:
+        probe = init_student_params(
+            jax.random.PRNGKey(0), in_channels=in_dim,
+            hidden_channels=cfg.hidden_channels, num_layers=cfg.num_layers,
+            predictor_mode=cfg.predictor,
+        )
+        snap = load_run_state(state_path, tx.init(probe))
+        if snap is not None:
+            r_params, r_opt, meta = snap
+            resume_run, resume_epoch = meta["run"], meta["epoch"]
+            resume_state = (r_params, r_opt, meta)
+            for k, histories in meta["logger_results"].items():
+                if k in loggers:
+                    for r, hist in enumerate(histories):
+                        loggers[k].results[r] = [tuple(t) for t in hist]
+            if verbose:
+                print(f"resuming from run {resume_run} epoch {resume_epoch}")
+
+    for run in range(resume_run, cfg.runs):
         key = jax.random.PRNGKey(run + 1 + cfg.seed_offset)  # student: run+1
         params = init_student_params(
             jax.random.fold_in(key, 0),
@@ -339,8 +411,15 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         )
         opt_state = tx.init(params)
         best_val, cnt_wait = 0.0, 0
+        epoch_start = 1
+        if resume_state is not None and run == resume_run:
+            params, opt_state, meta = resume_state
+            best_val, cnt_wait = meta["best_val"], meta["cnt_wait"]
+            epoch_start = resume_epoch + 1
+            resume_state = None
 
-        for epoch in range(1, epochs + 1):
+        for epoch in range(epoch_start, epochs + 1):
+            meter.start_epoch()
             params, opt_state, loss = epoch_fn(
                 params, opt_state, jax.random.fold_in(key, epoch),
                 data["graph"], data["x"], t_h, teacher_pred,
@@ -359,6 +438,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                     ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
                 )
             results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
+            meter.end_epoch()
             val = results[cfg.metric][0]
             if val >= best_val:
                 best_val, cnt_wait = val, 0
@@ -369,12 +449,21 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             if verbose and epoch % 50 == 0:
                 print(
                     f"[student run {run} epoch {epoch}] loss={float(loss):.4f} "
-                    f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f}"
+                    f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f} "
+                    f"({meter.edges_per_sec:.0f} edges/s)"
+                )
+            if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                save_run_state(
+                    state_path, params=params, opt_state=opt_state, run=run,
+                    epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
+                    val_max=0.0,
+                    logger_results={k: lg.results for k, lg in loggers.items()},
                 )
             if cnt_wait >= cfg.patience:
                 break
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}
+    perf = meter.summary()
     if cfg.results_dir:
         os.makedirs(cfg.results_dir, exist_ok=True)
         with open(_results_path(cfg, "KD"), "a") as f:
@@ -383,6 +472,10 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 f.write("LLP (Relational Distillation)\n")
             for k, s in stats.items():
                 f.write(f"{k}: {s}\n")
+            f.write(f"perf: {perf}\n")
     if verbose:
-        print(f"student done in {time.time() - t0:.1f}s: {stats.get(cfg.metric)}")
+        print(
+            f"student done in {time.time() - t0:.1f}s: {stats.get(cfg.metric)} "
+            f"perf={perf}"
+        )
     return stats, loggers

@@ -43,6 +43,9 @@ class CommonConfig:
     seed_offset: int = 0  # teacher seeds run+0, student run+1 (reference)
     results_dir: str = "./results"
     spmm_impl: str = "xla"
+    checkpoint_every: int = 0  # epochs between train-state snapshots (0=off)
+    resume: bool = False       # resume from the last snapshot if present
+    profile_dir: str = ""      # jax.profiler trace output ("" = off)
 
     @property
     def hits_ks(self) -> Tuple[int, ...]:

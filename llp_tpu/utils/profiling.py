@@ -1,0 +1,67 @@
+"""Observability: step timing, throughput counters, and jax.profiler hooks.
+
+The reference has no tracing at all (SURVEY.md §5.1 — ``import time`` unused,
+a dead nvidia-smi probe).  Here: a lightweight epoch clock that reports
+epochs/sec and edges-scored/sec (the BASELINE metric), plus an optional
+``jax.profiler`` trace context for deep dives (view with TensorBoard or
+xprof).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class ThroughputMeter:
+    """Accumulates wall-clock + work counters across epochs."""
+
+    edges_per_epoch: int = 0
+    _t0: Optional[float] = None
+    epoch_times: List[float] = field(default_factory=list)
+
+    def start_epoch(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def end_epoch(self) -> None:
+        if self._t0 is not None:
+            self.epoch_times.append(time.perf_counter() - self._t0)
+            self._t0 = None
+
+    @property
+    def mean_epoch_s(self) -> float:
+        if not self.epoch_times:
+            return 0.0
+        # Skip the first (compile) epoch when there are enough samples.
+        ts = self.epoch_times[1:] if len(self.epoch_times) > 2 else self.epoch_times
+        return sum(ts) / len(ts)
+
+    @property
+    def edges_per_sec(self) -> float:
+        t = self.mean_epoch_s
+        return self.edges_per_epoch / t if t > 0 else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "epochs": len(self.epoch_times),
+            "mean_epoch_s": round(self.mean_epoch_s, 4),
+            "edges_per_sec": round(self.edges_per_sec, 1),
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]):
+    """jax.profiler trace context (no-op when log_dir is None)."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

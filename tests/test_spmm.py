@@ -49,10 +49,13 @@ def test_spmm_edge_weight(small_graph, rng):
     x = jnp.asarray(rng.normal(size=(g.num_nodes, 16)), jnp.float32)
     w = jnp.asarray(rng.random(g.num_padded_edges), jnp.float32)
     out = np.asarray(spmm(g, x, "sum", edge_weight=w))
+    # Weights align with the graph's canonical (receiver-sorted) edge order.
     Aw = np.zeros_like(A)
     wn = np.asarray(w)
-    for e, (u, v) in enumerate(ei.T):
-        Aw[v, u] += wn[e]
+    send = np.asarray(g.senders)
+    recv = np.asarray(g.receivers)
+    for e in range(g.num_edges):
+        Aw[recv[e], send[e]] += wn[e]
     np.testing.assert_allclose(out, Aw @ np.asarray(x, np.float64), atol=1e-4)
 
 
