@@ -64,6 +64,20 @@ def prepare_transductive(cfg):
     graph = build_graph(train_edges.T, ds.num_nodes)
     x = jnp.asarray(ds.x)
 
+    # use_valedges_as_input: score test edges against a message graph that
+    # also contains the validation edges. The reference builds this
+    # full_adj_t but never reads it [QUIRK, train_teacher_gnn.py:333-342 vs
+    # :87]; we implement the intended semantics.
+    eval_graph = graph
+    if getattr(cfg, "use_valedges_as_input", False):
+        from llp_tpu.core.graph import to_undirected_np
+
+        val_edges = split["valid"]["edge"].astype(np.int64).T
+        full = np.concatenate([train_edges.T.astype(np.int64), val_edges], axis=1)
+        eval_graph = build_graph(
+            to_undirected_np(full, ds.num_nodes), ds.num_nodes
+        )
+
     if ds.num_nodes <= MAX_EXACT_NODES:
         neg_keys = jnp.asarray(edge_hash_keys(train_edges.T, ds.num_nodes))
     else:
@@ -78,6 +92,7 @@ def prepare_transductive(cfg):
     return dict(
         ds=ds,
         graph=graph,
+        eval_graph=eval_graph,
         x=x,
         pos_edges=jnp.asarray(train_edges),
         neg_keys=neg_keys,
@@ -261,6 +276,17 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                     params, data["graph"], data["x"],
                     ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
                 )
+                if data["eval_graph"] is not data["graph"]:
+                    # use_valedges_as_input: test scores come from the
+                    # train+valid message graph; valid stays on train-only.
+                    results_full, _ = eval_fn(
+                        params, data["eval_graph"], data["x"],
+                        ee["valid_pos"], ee["valid_neg"], ee["test_pos"],
+                        ee["test_neg"],
+                    )
+                    results = {
+                        k: (results[k][0], results_full[k][1]) for k in results
+                    }
             results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
             meter.end_epoch()
             val = results[cfg.metric][0]
