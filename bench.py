@@ -50,6 +50,14 @@ def bench_tpu(ei: np.ndarray, x: np.ndarray) -> float:
     pos_edges = jnp.asarray(ei.T.astype(np.int32))
     neg_keys = jnp.zeros((1,), jnp.int32)
 
+    import jax as _jax
+
+    impl = "segsum" if _jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "segsum":
+        from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
+
+        prepare_segsum(graph)
+
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder="sage",
         predictor_mode="mlp",
@@ -59,6 +67,7 @@ def bench_tpu(ei: np.ndarray, x: np.ndarray) -> float:
         link_batch_size=BATCH,
         neg_mode="uniform",
         lr=0.005,
+        spmm_impl=impl,
     )
     params = init_teacher_params(
         jax.random.PRNGKey(0), encoder="sage", in_channels=DIM,

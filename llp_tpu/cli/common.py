@@ -33,7 +33,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--minibatch", action="store_true")
     p.add_argument("--results_dir", type=str, default="./results")
     p.add_argument("--save_dir", type=str, default="./saved")
-    p.add_argument("--spmm_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument(
+        "--spmm_impl", type=str, default="auto",
+        choices=["auto", "xla", "pallas", "segsum"],
+    )
 
 
 def setup_device(spec: str) -> None:

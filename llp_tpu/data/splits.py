@@ -111,11 +111,18 @@ def do_edge_split(
     val_ratio: float = 0.05,
     test_ratio: float = 0.1,
     seed: int = 234,
+    fast_split: bool = False,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """SEAL-style transductive split (reference utils.py:62-105).
 
     Returns the reference's ``split_edge`` dict: edges as (M, 2) arrays under
     ``split_edge[{'train','valid','test'}][{'edge','edge_neg'}]``.
+
+    ``fast_split=True`` reproduces the reference's fast path (utils.py:74-96):
+    train positives stay single-direction (NOT re-symmetrized), and all
+    negatives come from one shared any-direction draw that only excludes real
+    edges — so "(i,j) and (j,i) may both appear" and self-loops are possible,
+    exactly as the reference comments warn.
     """
     num_nodes = int(x.shape[0])
     rng = np.random.default_rng(seed)
@@ -128,6 +135,25 @@ def do_edge_split(
     val_pos = uniq[:, :n_v]
     test_pos = uniq[:, n_v : n_v + n_t]
     train_uniq = uniq[:, n_v + n_t :]
+
+    if fast_split:
+        all_keys_f = (
+            edge_index[0].astype(np.int64) * num_nodes
+            + edge_index[1].astype(np.int64)
+        )
+        neg = _sample_nonedges_any_direction(rng, m, num_nodes, np.sort(all_keys_f))
+        return {
+            "train": {
+                "edge": train_uniq.T.copy(),
+                "edge_neg": neg[:, n_v + n_t :].T.copy(),
+            },
+            "valid": {"edge": val_pos.T.copy(), "edge_neg": neg[:, :n_v].T.copy()},
+            "test": {
+                "edge": test_pos.T.copy(),
+                "edge_neg": neg[:, n_v : n_v + n_t].T.copy(),
+            },
+        }
+
     train_pos = np.concatenate([train_uniq, train_uniq[::-1]], axis=1)  # undirected
 
     # val/test negatives: i<j non-edges of the FULL graph, without replacement

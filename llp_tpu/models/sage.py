@@ -64,15 +64,24 @@ def init_sage(
     out_channels: int,
     num_layers: int,
     *,
+    norm_type: str = "none",
     dtype=jnp.float32,
 ) -> dict:
+    if norm_type not in ("none", "layer"):
+        raise NotImplementedError(f"norm_type={norm_type!r} not supported yet")
     keys = jax.random.split(key, num_layers)
     dims = [in_channels] + [hidden_channels] * (num_layers - 1) + [out_channels]
     convs = [
         init_sage_conv(keys[i], dims[i], dims[i + 1], dtype=dtype)
         for i in range(num_layers)
     ]
-    return {"convs": convs}
+    norms = []
+    if norm_type == "layer":
+        norms = [
+            {"scale": jnp.ones((dims[i + 1],), dtype), "bias": jnp.zeros((dims[i + 1],), dtype)}
+            for i in range(num_layers - 1)
+        ]
+    return {"convs": convs, "norms": norms}
 
 
 def apply_sage(
@@ -84,6 +93,7 @@ def apply_sage(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     conv: str = "sage",
+    norm_type: str = "none",
     impl: str = "xla",
 ) -> jnp.ndarray:
     conv_fn = _CONV_APPLY[conv]
@@ -91,6 +101,11 @@ def apply_sage(
     h = x
     for i, cp in enumerate(convs[:-1]):
         h = conv_fn(cp, graph, h, impl=impl)
+        if norm_type == "layer":
+            np_ = params["norms"][i]
+            mu = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * np_["scale"] + np_["bias"]
         h = jax.nn.relu(h)
         if train and dropout > 0.0:
             if rng is None:

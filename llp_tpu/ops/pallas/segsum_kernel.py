@@ -1,0 +1,238 @@
+"""Windowed Pallas segmented-sum — sorted-scatter replacement at HBM speed.
+
+The XLA sorted scatter-add runs at ~80 GB/s effective on v5e (413k×256 f32
+rows in ~5 ms): each row is a 1 KB random-ish read-modify-write.  This kernel
+restructures the reduction so every HBM access is a large sequential DMA and
+every FLOP is an MXU matmul:
+
+*  Host side (static per graph): the receiver-sorted edge stream is cut into
+   blocks of BE edges whose receiver span fits a RMAX-row window (blocks are
+   closed early at big receiver jumps; short blocks are padded).  Each edge
+   stores its window-local receiver id; each block stores its window base r0
+   (8-aligned).
+*  Kernel, per (d-tile, block) grid step: one-hot expand the BE local ids
+   (BE×RMAX, VPU iota compare), reduce the gathered message block with one
+   MXU matmul ``M^T @ msgs`` (RMAX×DT), then read-modify-write the
+   out[r0:r0+RMAX] window with two explicit DMAs.  Blocks are sequential in
+   the grid, so overlapping windows accumulate correctly.
+
+The sorted gather producing ``msgs`` stays in XLA (it already runs at
+~200 GB/s).  Used by :func:`llp_tpu.ops.spmm.spmm` when a graph has been
+prepared with impl="pallas_segsum"; the transposed layout serves the custom
+VJP exactly like the sorted-scatter path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BE = 512     # edges per block
+RMAX = 512   # receiver window rows per block
+DT = 256     # feature tile
+
+
+class BlockedSegsumLayout(NamedTuple):
+    senders: jnp.ndarray    # (B*BE,) int32 — gather indices, padded with 0
+    local_ids: jnp.ndarray  # (B*BE, 1) int32 — window-local receiver, RMAX = pad
+    block_r0: jnp.ndarray   # (B,) int32 — window base row (8-aligned)
+    num_blocks: int
+    n_out_pad: int          # out rows incl. window overhang
+
+
+def build_blocked_layout(
+    seg_ids: np.ndarray, senders: np.ndarray, num_segments: int
+) -> BlockedSegsumLayout:
+    """Cut a sorted (seg_ids, senders) edge stream into windowed blocks."""
+    seg_ids = np.asarray(seg_ids, np.int64)
+    senders = np.asarray(senders, np.int64)
+    e = seg_ids.shape[0]
+    assert (np.diff(seg_ids) >= 0).all(), "seg_ids must be sorted"
+
+    blocks = []  # (start, count, r0)
+    i = 0
+    while i < e:
+        r0 = (int(seg_ids[i]) // 8) * 8
+        # extend while inside the window and block not full
+        hi = min(i + BE, e)
+        j = int(np.searchsorted(seg_ids[i:hi], r0 + RMAX, side="left")) + i
+        blocks.append((i, j - i, r0))
+        i = j
+
+    b = max(len(blocks), 1)
+    send_out = np.zeros((b * BE,), np.int32)
+    local = np.full((b * BE,), RMAX, np.int32)
+    r0s = np.zeros((b,), np.int32)
+    for bi, (start, count, r0) in enumerate(blocks):
+        send_out[bi * BE : bi * BE + count] = senders[start : start + count]
+        local[bi * BE : bi * BE + count] = (seg_ids[start : start + count] - r0).astype(
+            np.int32
+        )
+        r0s[bi] = r0
+    n_out_pad = ((num_segments + 7) // 8) * 8 + RMAX
+    return BlockedSegsumLayout(
+        jnp.asarray(send_out),
+        jnp.asarray(local.reshape(-1, 1)),
+        jnp.asarray(r0s),
+        b,
+        n_out_pad,
+    )
+
+
+def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
+    # zeros_ref is the aliased initial out buffer; reads/writes go to out_ref.
+    b = pl.program_id(1)
+    d = pl.program_id(0)
+    lid = lid_ref[...]  # (BE, 1)
+    valid = lid < RMAX
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BE, RMAX), 1)
+    m = jnp.where((lid == lanes) & valid, 1.0, 0.0)
+    contrib = jax.lax.dot_general(
+        m,
+        msgs_ref[...].astype(jnp.float32),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (RMAX, DT)
+    r0 = pl.multiple_of(r0_ref[b], 8)  # layout guarantees 8-aligned bases
+    window = out_ref.at[pl.ds(r0, RMAX), pl.ds(d * DT, DT)]
+    load = pltpu.make_async_copy(window, scratch, sem)
+    load.start()
+    load.wait()
+    scratch[...] = scratch[...] + contrib
+    store = pltpu.make_async_copy(scratch, window, sem)
+    store.start()
+    store.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "n_out_pad", "interpret"))
+def _segsum_call(local_ids, block_r0, msgs, *, num_blocks, n_out_pad, interpret):
+    d_pad = msgs.shape[1]
+    zeros = jnp.zeros((n_out_pad, d_pad), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d_pad // DT, num_blocks),
+        in_specs=[
+            pl.BlockSpec((BE, 1), lambda d, b, r0s: (b, 0)),
+            pl.BlockSpec((BE, DT), lambda d, b, r0s: (b, d)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((RMAX, DT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out_pad, d_pad), jnp.float32),
+        input_output_aliases={3: 0},  # zeros (arg idx incl. prefetch) -> out
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(block_r0, local_ids, msgs, zeros)
+
+
+def segment_sum_blocked(
+    x: jnp.ndarray,
+    layout: BlockedSegsumLayout,
+    num_segments: int,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Gather x rows by layout.senders and segment-sum them (sorted windows)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    d = x.shape[1]
+    d_pad = ((d + DT - 1) // DT) * DT
+    msgs = jnp.take(x, layout.senders, axis=0).astype(jnp.float32)
+    if d_pad != d:
+        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
+    out = _segsum_call(
+        layout.local_ids,
+        layout.block_r0,
+        msgs,
+        num_blocks=layout.num_blocks,
+        n_out_pad=layout.n_out_pad,
+        interpret=interpret,
+    )
+    return out[:num_segments, :d]
+
+
+# ---- SpMM integration (cached closures per graph, like the tile kernel) ------
+
+_SEG_FN_CACHE: dict = {}
+
+
+def segsum_ready(graph) -> bool:
+    return (graph.cache_token, "mean") in _SEG_FN_CACHE
+
+
+def get_blocked_spmm_fn(graph, reduce: str):
+    """custom-vjp'd x -> aggregate(x) over the graph using windowed segsum in
+    both directions (forward: receiver-sorted canonical COO; backward: the
+    sender-sorted CSR view)."""
+    key = (graph.cache_token, reduce)
+    hit = _SEG_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if isinstance(graph.senders, jax.core.Tracer):
+        raise RuntimeError(
+            "blocked-segsum layout not built for this graph; call "
+            "prepare_segsum(graph) outside jit first"
+        )
+    e = graph.num_edges
+    n = graph.num_nodes
+    recv = np.asarray(jax.device_get(graph.receivers))[:e]
+    send = np.asarray(jax.device_get(graph.senders))[:e]
+    assert graph.receiver_sorted, "canonical graphs are receiver-sorted"
+    lay_f = build_blocked_layout(recv, send, n)
+    csr_row = np.asarray(jax.device_get(graph.csr_row))[:e]
+    col = np.asarray(jax.device_get(graph.col))[:e]
+    lay_b = build_blocked_layout(csr_row, col, n)
+    inv_deg = jnp.asarray(
+        1.0 / np.maximum(np.asarray(jax.device_get(graph.in_degree), np.float32), 1.0)
+    )
+
+    def fwd_impl(x):
+        out = segment_sum_blocked(x, lay_f, n)
+        if reduce == "mean":
+            out = out * inv_deg[:, None]
+        return out.astype(x.dtype)
+
+    @jax.custom_vjp
+    def f(x):
+        return fwd_impl(x)
+
+    def f_fwd(x):
+        return fwd_impl(x), ()
+
+    def f_bwd(_res, g):
+        gf = g.astype(jnp.float32)
+        if reduce == "mean":
+            gf = gf * inv_deg[:, None]
+        dx = segment_sum_blocked(gf, lay_b, n)
+        return (dx.astype(g.dtype),)
+
+    f.defvjp(f_fwd, f_bwd)
+    _SEG_FN_CACHE[key] = f
+    return f
+
+
+def prepare_segsum(graph) -> None:
+    """Pre-build both directions' layouts + vjp'd fns (outside jit)."""
+    get_blocked_spmm_fn(graph, "mean")
+    get_blocked_spmm_fn(graph, "sum")
+
+
+def spmm_segsum(graph, x: jnp.ndarray, reduce: str) -> jnp.ndarray:
+    if reduce == "max":
+        from llp_tpu.ops.spmm import _spmm_xla
+
+        return _spmm_xla(graph, x, "max")
+    return get_blocked_spmm_fn(graph, reduce)(x)

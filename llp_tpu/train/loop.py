@@ -182,6 +182,14 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         prepare_pallas(data["graph"])
         if production:
             prepare_pallas(data["inf_graph"])
+    elif cfg.spmm_impl == "segsum":
+        from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
+
+        prepare_segsum(data["graph"])
+        if production:
+            prepare_segsum(data["inf_graph"])
+        elif data.get("eval_graph") is not None and data["eval_graph"] is not data["graph"]:
+            prepare_segsum(data["eval_graph"])
 
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder=cfg.encoder,
@@ -315,7 +323,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 cnt_wait += 1
             for k, v in results.items():
                 loggers[k].add_result(run, v)
-            if verbose and epoch % 50 == 0:
+            if verbose and epoch % max(cfg.log_steps, 1) == 0:
                 print(
                     f"[teacher run {run} epoch {epoch}] loss={float(loss):.4f} "
                     f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f} "
@@ -472,7 +480,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 cnt_wait += 1
             for k, v in results.items():
                 loggers[k].add_result(run, v)
-            if verbose and epoch % 50 == 0:
+            if verbose and epoch % max(cfg.log_steps, 1) == 0:
                 print(
                     f"[student run {run} epoch {epoch}] loss={float(loss):.4f} "
                     f"{cfg.metric} valid={val:.4f} test={results[cfg.metric][1]:.4f} "

@@ -24,6 +24,7 @@ def _hits_ks(dataset: str) -> Tuple[int, ...]:
 
 @dataclass
 class CommonConfig:
+    log_steps: int = 50  # console progress cadence (reference default is 1)
     encoder: str = "sage"
     num_layers: int = 2
     hidden_channels: int = 256
@@ -42,7 +43,7 @@ class CommonConfig:
     minibatch: bool = False
     seed_offset: int = 0  # teacher seeds run+0, student run+1 (reference)
     results_dir: str = "./results"
-    spmm_impl: str = "xla"
+    spmm_impl: str = "auto"  # auto -> segsum kernel on TPU, xla elsewhere
     checkpoint_every: int = 0  # epochs between train-state snapshots (0=off)
     resume: bool = False       # resume from the last snapshot if present
     profile_dir: str = ""      # jax.profiler trace output ("" = off)
@@ -60,6 +61,12 @@ class CommonConfig:
             self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
         else:
             self.metric = "Hits@20"
+        if self.spmm_impl == "auto":
+            import jax
+
+            self.spmm_impl = (
+                "segsum" if jax.default_backend() in ("tpu", "axon") else "xla"
+            )
         return self
 
     @classmethod
