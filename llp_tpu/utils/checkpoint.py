@@ -19,12 +19,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_EMPTY_LIST = "__empty_list__"
+_EMPTY_DICT = "__empty_dict__"
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{_EMPTY_DICT}"] = np.zeros((0,))
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[f"{prefix}{_EMPTY_LIST}"] = np.zeros((0,))
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
     else:
@@ -46,6 +54,10 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return jnp.asarray(node)
         keys = list(node.keys())
+        if keys == [_EMPTY_LIST]:
+            return []
+        if keys == [_EMPTY_DICT]:
+            return {}
         if keys and all(k.isdigit() for k in keys):
             return [normalize(node[str(i)]) for i in range(len(keys))]
         return {k: normalize(v) for k, v in node.items()}
