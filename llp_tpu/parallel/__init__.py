@@ -4,6 +4,8 @@ from llp_tpu.parallel.sharded import (
     make_sharded_teacher_step,
     make_sharded_student_step,
 )
+from llp_tpu.parallel.eval import make_sharded_hits_auc
+from llp_tpu.parallel.multihost import initialize_multihost, measure_scaling
 
 __all__ = [
     "make_mesh",
@@ -11,4 +13,7 @@ __all__ = [
     "make_sharded_spmm",
     "make_sharded_teacher_step",
     "make_sharded_student_step",
+    "make_sharded_hits_auc",
+    "initialize_multihost",
+    "measure_scaling",
 ]

@@ -108,3 +108,28 @@ def test_sharded_student_step_runs(setup):
         teacher["predictor"], anchors, amask, pos, neg, bmask,
     )
     assert np.isfinite(float(loss))
+
+
+def test_sharded_hits_auc_matches_single_device():
+    from llp_tpu.ops.metrics import hits_at_k, roc_auc
+    from llp_tpu.parallel.eval import make_sharded_hits_auc
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.normal(size=200).astype(np.float32))
+    neg = jnp.asarray(rng.normal(size=512).astype(np.float32))
+    fn = make_sharded_hits_auc(mesh, (10, 20, 50))
+    out = fn(pos, neg)
+    for k in (10, 20, 50):
+        ref = float(hits_at_k(pos, neg, k))
+        assert abs(float(out[f"Hits@{k}"]) - ref) < 1e-6
+    assert abs(float(out["AUC"]) - float(roc_auc(pos, neg))) < 1e-6
+
+
+def test_measure_scaling_runs():
+    from llp_tpu.parallel import measure_scaling
+
+    res = measure_scaling((1, 4), n_nodes=256, dim=32, hidden=32, batch=128, steps=2)
+    assert 1 in res and 4 in res
+    assert res[1]["edges_per_sec"] > 0
+    assert "efficiency" in res[4]
