@@ -45,6 +45,17 @@ from llp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from llp_tpu.utils.config import SplitConfig, StudentConfig, TeacherConfig
 
 
+def _effective_neg_mode(cfg, num_nodes: int) -> str:
+    """Dense (exclusion-set) negatives need exact int32 edge keys; beyond that
+    node count the reference itself uses plain uniform negatives (collab,
+    main.py:83-84) — do the same for any graph that large."""
+    from llp_tpu.sample.negative import MAX_EXACT_NODES
+
+    if num_nodes > MAX_EXACT_NODES:
+        return "uniform"
+    return cfg.neg_mode
+
+
 def _conv_variant(cfg) -> str:
     # coauthor-physics uses the linear-then-aggregate conv (train_teacher_gnn.py:375-383).
     return "sage_updated" if cfg.datasets == "coauthor-physics" else "sage"
@@ -199,7 +210,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         num_nodes=data["graph"].num_nodes,
         num_pos_edges=data["num_pos"],
         link_batch_size=cfg.batch_size,
-        neg_mode=cfg.neg_mode,
+        neg_mode=_effective_neg_mode(cfg, data["graph"].num_nodes),
         lr=cfg.lr,
         spmm_impl=cfg.spmm_impl,
     )
@@ -220,6 +231,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
 
     epochs = max_epochs if max_epochs is not None else cfg.epochs
     val_max = 0.0  # shared across runs (reference train_teacher_gnn.py:420)
+    best_artifact = None
     t0 = time.time()
 
     from llp_tpu.train.state import load_run_state, save_run_state
@@ -302,10 +314,13 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             if val > val_max:
                 val_max = val
                 if cfg.encoder != "mlp" and cfg.save_dir:
-                    save_checkpoint(
-                        _teacher_ckpt_path(cfg),
-                        {"params": params, "features": h},
-                        meta=dict(
+                    # Retain on device; the disk write happens once after the
+                    # run loop (D2H of the feature matrix is expensive over
+                    # the axon tunnel and early epochs improve every step).
+                    best_artifact = (
+                        params,
+                        h,
+                        dict(
                             encoder=cfg.encoder,
                             conv=conv,
                             predictor=cfg.predictor,
@@ -338,6 +353,12 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 )
             if cnt_wait >= cfg.patience:
                 break
+
+    if best_artifact is not None:
+        bp, bh, bmeta = best_artifact
+        save_checkpoint(
+            _teacher_ckpt_path(cfg), {"params": bp, "features": bh}, meta=bmeta
+        )
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}
     perf = meter.summary()
@@ -389,7 +410,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         hops=cfg.hops,
         ns_rate=cfg.ns_rate,
         ps_method=cfg.ps_method,
-        neg_mode=cfg.neg_mode,
+        neg_mode=_effective_neg_mode(cfg, n),
         minibatch=cfg.minibatch,
     )
     if production:

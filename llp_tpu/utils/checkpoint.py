@@ -69,7 +69,10 @@ def save_checkpoint(path: str, params: Any, meta: Dict[str, Any] | None = None) 
     """Write ``<path>.npz`` (arrays) + ``<path>.json`` (metadata)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(params))
-    np.savez_compressed(path + ".npz", **flat)
+    # Uncompressed: checkpoints save on the training path (every validation
+    # improvement, reference semantics) and zip-compressing ~100MB of fp32
+    # noise costs ~1s/epoch on this host.
+    np.savez(path + ".npz", **flat)
     with open(path + ".json", "w") as f:
         json.dump(meta or {}, f, indent=2)
 
