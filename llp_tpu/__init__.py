@@ -25,3 +25,12 @@ utils     config, checkpointing, logging
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: compiles of the big scan-per-epoch
+# programs are expensive (remote Mosaic service on axon); cache them across
+# processes. Harmless no-op if jax was already initialized.
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/llp-jax-cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+del _os
