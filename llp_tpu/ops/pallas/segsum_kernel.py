@@ -105,6 +105,7 @@ def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
     # zeros_ref is the aliased initial out buffer; reads/writes go to out_ref.
     b = pl.program_id(1)
     d = pl.program_id(0)
+    nb = pl.num_programs(1)
     lid = lid_ref[...]  # (BE, 1)
     valid = lid < RMAX
     lanes = jax.lax.broadcasted_iota(jnp.int32, (BE, RMAX), 1)
@@ -117,13 +118,25 @@ def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
     )  # (RMAX, DT)
     r0 = pl.multiple_of(r0_ref[b], 8)  # layout guarantees 8-aligned bases
     window = out_ref.at[pl.ds(r0, RMAX), pl.ds(d * DT, DT)]
-    load = pltpu.make_async_copy(window, scratch, sem)
-    load.start()
-    load.wait()
+
+    # Consecutive blocks of the same window (~avg_degree·RMAX/BE of them)
+    # keep the accumulator resident in VMEM: DMA only at window boundaries.
+    first = jnp.logical_or(b == 0, r0_ref[jnp.maximum(b - 1, 0)] != r0_ref[b])
+    last = jnp.logical_or(b == nb - 1, r0_ref[jnp.minimum(b + 1, nb - 1)] != r0_ref[b])
+
+    @pl.when(first)
+    def _():
+        load = pltpu.make_async_copy(window, scratch, sem)
+        load.start()
+        load.wait()
+
     scratch[...] = scratch[...] + contrib
-    store = pltpu.make_async_copy(scratch, window, sem)
-    store.start()
-    store.wait()
+
+    @pl.when(last)
+    def _():
+        store = pltpu.make_async_copy(scratch, window, sem)
+        store.start()
+        store.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "n_out_pad", "interpret"))
