@@ -61,6 +61,23 @@ def _conv_variant(cfg) -> str:
     return "sage_updated" if cfg.datasets == "coauthor-physics" else "sage"
 
 
+def _fetch_results(results: dict) -> dict:
+    """One device->host transfer for the whole metric dict.
+
+    The axon tunnel has ~5-15ms round-trip latency per scalar read; fetching
+    the ~20 eval scalars individually costs ~0.3s/epoch on small graphs.
+    """
+    keys = sorted(results)
+    flat = [v for k in keys for v in results[k]]
+    vals = np.asarray(jnp.stack(flat))
+    out, i = {}, 0
+    for k in keys:
+        n = len(results[k])
+        out[k] = tuple(float(v) for v in vals[i : i + n])
+        i += n
+    return out
+
+
 def prepare_transductive(cfg):
     """Dataset + cached split + padded graph + device arrays."""
     ds = get_dataset(cfg.dataset_dir, cfg.datasets)
@@ -307,7 +324,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                     results = {
                         k: (results[k][0], results_full[k][1]) for k in results
                     }
-            results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
+            results = _fetch_results(results)
             meter.end_epoch()
             val = results[cfg.metric][0]
 
@@ -492,7 +509,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                     params, data["graph"], data["x"],
                     ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
                 )
-            results = {k: tuple(float(v) for v in vs) for k, vs in results.items()}
+            results = _fetch_results(results)
             meter.end_epoch()
             val = results[cfg.metric][0]
             if val >= best_val:
