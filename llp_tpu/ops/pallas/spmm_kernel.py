@@ -24,7 +24,6 @@ order) to densify tiles.  ``pallas_supported`` gates on shapes.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -22,7 +22,6 @@ set, mirroring the reference (its splitter adds self-loops before sampling,
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 
 from llp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 

@@ -14,9 +14,6 @@ masking, not by a recompile.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,8 +12,8 @@ node/link batch coupling ``node_batch_size = N / (E_train / link_batch_size)``
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import yaml
 
