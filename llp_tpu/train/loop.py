@@ -334,8 +334,10 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                     # Retain on device; the disk write happens once after the
                     # run loop (D2H of the feature matrix is expensive over
                     # the axon tunnel and early epochs improve every step).
+                    # Copy: the epoch jit donates the params buffers, so a
+                    # bare reference would be invalidated next epoch.
                     best_artifact = (
-                        params,
+                        jax.tree_util.tree_map(lambda a: a.copy(), params),
                         h,
                         dict(
                             encoder=cfg.encoder,

@@ -22,6 +22,7 @@ it with itertools every batch, main.py:112,193).
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import jax
@@ -207,7 +208,8 @@ def make_student_epoch_fn(
                 loss = loss + kd_lm * mse_loss(out, t_out, fmask)
         return loss
 
-    @jax.jit
+    # Donate the consumed training state (see teacher.py).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, key, graph, x, t_h, tpred, pos_edges, neg_keys):
         k_lperm, k_nperm, k_steps = jax.random.split(key, 3)
         lperm = jax.random.permutation(k_lperm, e)

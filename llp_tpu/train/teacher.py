@@ -14,6 +14,8 @@ masking, not by a recompile.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -100,7 +102,9 @@ def make_teacher_epoch_fn(
         full_mask = jnp.concatenate([mask, mask])
         return bce_loss(out, labels, full_mask)
 
-    @jax.jit
+    # params/opt_state are consumed and re-emitted every call: donate their
+    # buffers so XLA updates in place instead of double-buffering HBM.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, key, graph: Graph, x, pos_edges, neg_keys):
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, e)

@@ -60,9 +60,11 @@ def test_teacher_epoch_deterministic_under_key():
         jax.random.PRNGKey(1), encoder="sage", in_channels=int(x.shape[1]),
         hidden_channels=16, num_layers=2, predictor_mode="inner",
     )
-    o1 = tx.init(params)
-    p1, _, l1 = epoch_fn(params, o1, jax.random.PRNGKey(42), g, x, pos, keys)
-    p2, _, l2 = epoch_fn(params, tx.init(params), jax.random.PRNGKey(42), g, x, pos, keys)
+    # epoch_fn donates params/opt_state buffers: give each call its own copy.
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+    pa, pb = copy(params), copy(params)
+    p1, _, l1 = epoch_fn(pa, tx.init(pa), jax.random.PRNGKey(42), g, x, pos, keys)
+    p2, _, l2 = epoch_fn(pb, tx.init(pb), jax.random.PRNGKey(42), g, x, pos, keys)
     assert float(l1) == float(l2)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
