@@ -301,6 +301,9 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 params, opt_state, jax.random.fold_in(key, epoch),
                 data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
             )
+            if epoch % max(cfg.eval_steps, 1) != 0:
+                meter.end_epoch()
+                continue
             if production:
                 results, h = eval_fn(
                     params, data["graph"], data["x"], data["inf_graph"],
@@ -499,6 +502,9 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 data["graph"], data["x"], t_h, teacher_pred,
                 data["pos_edges"], data["neg_keys"],
             )
+            if epoch % max(cfg.eval_steps, 1) != 0:
+                meter.end_epoch()
+                continue
             if production:
                 results, _ = eval_fn(
                     params, data["graph"], data["x"], data["inf_graph"],

@@ -36,3 +36,9 @@ def test_alternative_encoders(tmp_path, encoder):
 def test_inner_predictor(tmp_path):
     stats, _ = run_teacher(_cfg(tmp_path, predictor="inner"), verbose=False)
     assert "Hits@20" in stats
+
+
+def test_eval_steps_honored(tmp_path):
+    # eval_steps=2 halves the recorded eval history (default 1 = ref parity).
+    _, loggers = run_teacher(_cfg(tmp_path, epochs=8, eval_steps=2), verbose=False)
+    assert len(loggers["Hits@20"].results[0]) == 4
