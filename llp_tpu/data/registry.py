@@ -103,9 +103,15 @@ def _synthetic_by_spec(spec: str) -> Dataset:
 
 
 def _synthetic_standin(name: str) -> Dataset:
+    import zlib
+
     n, d, deg, feat_kind, k = _REAL_SHAPES[name]
-    ei, comm = sbm_graph(n, k, deg, homophily=0.88, seed=hash(name) % (2**31))
-    x = community_features(comm, d, kind=feat_kind, seed=hash(name) % (2**31))
+    # Stable across processes (Python's hash() is salted per process, which
+    # would silently pair a cached split with a *different* regenerated
+    # graph in a later run).
+    seed = zlib.crc32(name.encode()) % (2**31)
+    ei, comm = sbm_graph(n, k, deg, homophily=0.88, seed=seed)
+    x = community_features(comm, d, kind=feat_kind, seed=seed)
     return Dataset(name, x, ei, synthetic=True)
 
 

@@ -44,7 +44,10 @@ def make_sharded_spmm(mesh: Mesh, num_nodes: int, axis: str = "data") -> Callabl
         acc = jnp.float32
         msgs = jnp.take(x, senders, axis=0).astype(acc)
         msgs = jnp.where(emask[:, None], msgs, 0.0)
-        out = jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes)
+        # Contiguous shards of the receiver-sorted canonical COO stay sorted.
+        out = jax.ops.segment_sum(
+            msgs, receivers, num_segments=num_nodes, indices_are_sorted=True
+        )
         out = jax.lax.psum(out, axis)
         if reduce == "mean":
             out = out / jnp.maximum(in_degree.astype(acc), 1.0)[:, None]
@@ -114,7 +117,10 @@ def make_sharded_teacher_step(
             acc = jnp.float32
             msgs = jnp.take(feats, senders, axis=0).astype(acc)
             msgs = jnp.where(emask[:, None], msgs, 0.0)
-            out = jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes)
+            # Contiguous shards of the receiver-sorted canonical COO stay sorted.
+            out = jax.ops.segment_sum(
+                msgs, receivers, num_segments=num_nodes, indices_are_sorted=True
+            )
             out = jax.lax.psum(out, axis)
             out = out / jnp.maximum(in_deg.astype(acc), 1.0)[:, None]
             return out.astype(feats.dtype)
