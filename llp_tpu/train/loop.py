@@ -550,6 +550,12 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             f.write(str(asdict(cfg)) + "\n")
             if cfg.llp_d != 0 or cfg.llp_r != 0:
                 f.write("LLP (Relational Distillation)\n")
+            elif cfg.kd_rm != 0:
+                # correct label (the reference swaps RM/LM here [QUIRK,
+                # main.py:277-280 vs argparse help :259-260])
+                f.write("Representation-matching\n")
+            elif cfg.kd_lm != 0:
+                f.write("Logit-matching\n")
             for k, s in stats.items():
                 f.write(f"{k}: {s}\n")
             f.write(f"perf: {perf}\n")
