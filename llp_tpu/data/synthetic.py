@@ -100,9 +100,14 @@ def community_features(
     n = community.shape[0]
     k = int(community.max()) + 1
     if kind == "binary":
-        proto = rng.random((k, dim)) < 0.05
+        # Bag-of-words realism: real binary datasets have ~tens of active
+        # terms per row regardless of vocabulary size. A flat 5% density at
+        # D>4000 gives ~500-ones rows whose logit scale collapses sigmoid-BCE
+        # training; cap active terms for very wide feature spaces.
+        p_on = 0.05 if dim <= 4000 else 60.0 / dim
+        proto = rng.random((k, dim)) < p_on
         x = proto[community].astype(np.float32)
-        flips = rng.random((n, dim)) < noise * 0.05
+        flips = rng.random((n, dim)) < noise * p_on
         x = np.logical_xor(x, flips).astype(np.float32)
         return x
     if kind == "gauss":
