@@ -303,6 +303,13 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             )
             if epoch % max(cfg.eval_steps, 1) != 0:
                 meter.end_epoch()
+                if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                    save_run_state(
+                        state_path, params=params, opt_state=opt_state, run=run,
+                        epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
+                        val_max=val_max,
+                        logger_results={k: lg.results for k, lg in loggers.items()},
+                    )
                 continue
             if production:
                 results, h = eval_fn(
@@ -504,6 +511,13 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             )
             if epoch % max(cfg.eval_steps, 1) != 0:
                 meter.end_epoch()
+                if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                    save_run_state(
+                        state_path, params=params, opt_state=opt_state, run=run,
+                        epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
+                        val_max=0.0,
+                        logger_results={k: lg.results for k, lg in loggers.items()},
+                    )
                 continue
             if production:
                 results, _ = eval_fn(
