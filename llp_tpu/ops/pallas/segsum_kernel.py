@@ -1,5 +1,9 @@
 """Windowed Pallas segmented-sum — sorted-scatter replacement at HBM speed.
 
+(TPU-native replacement for the reference's ``torch_sparse.matmul`` SpMM,
+reference ``src/sageconv_updated.py:86-89`` — the fastest of the three
+implementations behind :func:`llp_tpu.ops.spmm.spmm`.)
+
 The XLA sorted scatter-add runs at ~80 GB/s effective on v5e (413k×256 f32
 rows in ~5 ms): each row is a 1 KB random-ish read-modify-write.  This kernel
 restructures the reduction so every HBM access is a large sequential DMA and
