@@ -25,6 +25,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset_dir", type=str, default="./data")
     p.add_argument("--datasets", type=str, default="cora")
     p.add_argument("--predictor", type=str, default="mlp", choices=["inner", "mlp"])
+    # The reference exposes norm_type only on the model constructors
+    # (models.py:14,84); surfaced here as a flag for completeness.
+    p.add_argument("--norm_type", type=str, default="none",
+                   choices=["none", "layer", "batch"])
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--metric", type=str, default="Hits@20")
     p.add_argument("--use_valedges_as_input", action="store_true")

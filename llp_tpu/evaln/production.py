@@ -31,6 +31,7 @@ def make_production_eval_fn(
     predictor_mode: str = "mlp",
     hits_ks: Sequence[int] = (10, 20, 30, 50),
     spmm_impl: str = "xla",
+    norm_type: str = "none",
 ):
     """Returns jitted ``eval_fn(params, val_graph, val_x, inf_graph, inf_x,
     val_pos, val_neg, test_edges) -> (results, h_val)``.
@@ -53,15 +54,19 @@ def make_production_eval_fn(
     def eval_fn(params, val_graph, val_x, inf_graph, inf_x, val_pos, val_neg, test_edges):
         h_val = apply_encoder(
             encoder, params["encoder"], val_graph, val_x, train=False, conv=conv,
-            impl=spmm_impl,
+            norm_type=norm_type, impl=spmm_impl,
         )
+        if norm_type == "batch":
+            h_val, _ = h_val  # eval mode: running buffers used, not updated
         vp = score(params, h_val, val_pos)
         vn = score(params, h_val, val_neg)
 
         h_inf = apply_encoder(
             encoder, params["encoder"], inf_graph, inf_x, train=False, conv=conv,
-            impl=spmm_impl,
+            norm_type=norm_type, impl=spmm_impl,
         )
+        if norm_type == "batch":
+            h_inf, _ = h_inf
         tp = score(params, h_inf, test_edges["merged"])
         oo = score(params, h_inf, test_edges["old_old"])
         on = score(params, h_inf, test_edges["old_new"])

@@ -31,6 +31,7 @@ def make_transductive_eval_fn(
     predictor_mode: str = "mlp",
     hits_ks: Sequence[int] = (10, 20, 30, 50),
     spmm_impl: str = "xla",
+    norm_type: str = "none",
 ):
     """Returns jitted ``eval_fn(params, graph, x, valid_pos, valid_neg,
     test_pos, test_neg) -> (results, h)`` with edge arrays (M, 2) int32 and
@@ -50,8 +51,11 @@ def make_transductive_eval_fn(
     @jax.jit
     def eval_fn(params, graph, x, valid_pos, valid_neg, test_pos, test_neg):
         h = apply_encoder(
-            encoder, params["encoder"], graph, x, train=False, conv=conv, impl=spmm_impl
+            encoder, params["encoder"], graph, x, train=False, conv=conv,
+            norm_type=norm_type, impl=spmm_impl,
         )
+        if norm_type == "batch":
+            h, _ = h  # eval mode: running buffers used, not updated
         vp = score(params, h, valid_pos)
         vn = score(params, h, valid_neg)
         tp = score(params, h, test_pos)

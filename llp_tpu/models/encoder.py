@@ -24,14 +24,24 @@ def init_encoder(
     out_channels: int,
     num_layers: int,
     *,
+    norm_type: str = "none",
     dtype=jnp.float32,
 ) -> dict:
     if name == "sage":
-        return init_sage(key, in_channels, hidden_channels, out_channels, num_layers, dtype=dtype)
+        return init_sage(
+            key, in_channels, hidden_channels, out_channels, num_layers,
+            norm_type=norm_type, dtype=dtype,
+        )
     if name == "gcn":
+        # The reference GCN takes no norm_type (models.py:56-80).
+        if norm_type != "none":
+            raise ValueError("the GCN encoder has no inter-layer norms")
         return init_gcn(key, in_channels, hidden_channels, out_channels, num_layers, dtype=dtype)
     if name == "mlp":
-        return init_mlp(key, num_layers, in_channels, hidden_channels, out_channels, dtype=dtype)
+        return init_mlp(
+            key, num_layers, in_channels, hidden_channels, out_channels,
+            norm_type=norm_type, dtype=dtype,
+        )
     raise ValueError(f"unknown encoder {name!r}")
 
 
@@ -45,14 +55,21 @@ def apply_encoder(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     conv: str = "sage",
+    norm_type: str = "none",
     impl: str = "xla",
-) -> jnp.ndarray:
+):
+    """Returns ``h``; with norm_type="batch", ``(h, new_norm_state)``."""
     if name == "sage":
         return apply_sage(
-            params, graph, x, dropout=dropout, train=train, rng=rng, conv=conv, impl=impl
+            params, graph, x, dropout=dropout, train=train, rng=rng, conv=conv,
+            norm_type=norm_type, impl=impl,
         )
     if name == "gcn":
+        if norm_type != "none":
+            raise ValueError("the GCN encoder has no inter-layer norms")
         return apply_gcn(params, graph, x, dropout=dropout, train=train, rng=rng, impl=impl)
     if name == "mlp":
-        return apply_mlp(params, x, dropout=dropout, train=train, rng=rng)
+        return apply_mlp(
+            params, x, dropout=dropout, train=train, rng=rng, norm_type=norm_type
+        )
     raise ValueError(f"unknown encoder {name!r}")

@@ -3,8 +3,11 @@
 Semantics match the reference ``MLP`` (reference ``src/models.py:6-54``):
 num_layers Linear stack; between layers (never after the last): optional norm,
 ReLU, dropout.  Default norm_type is "none" (the only configuration any
-reference script uses); "layer" is supported, "batch" is deferred (it would
-need running-statistics state threading; no reference run enables it).
+reference script uses); "layer" and "batch" follow the reference's
+``nn.LayerNorm`` / ``nn.BatchNorm1d`` numerics (see
+:mod:`llp_tpu.models.norms`).  With ``norm_type="batch"`` the apply function
+returns ``(h, new_norm_state)`` — batch norm is stateful; all other modes
+return just ``h``.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from llp_tpu.models.init import apply_linear, init_linear
+from llp_tpu.models.norms import apply_norm, check_norm_type, init_norm
 
 
 def init_mlp(
@@ -27,32 +31,25 @@ def init_mlp(
     norm_type: str = "none",
     dtype=jnp.float32,
 ) -> dict:
-    if norm_type not in ("none", "layer"):
-        raise NotImplementedError(f"norm_type={norm_type!r} not supported yet")
+    check_norm_type(norm_type)
     keys = jax.random.split(key, max(num_layers, 1))
     layers = []
     norms = []
+    norm_state = []
     if num_layers == 1:
         layers.append(init_linear(keys[0], input_dim, output_dim, dtype=dtype))
     else:
         dims = [input_dim] + [hidden_dim] * (num_layers - 1) + [output_dim]
         for i in range(num_layers):
             layers.append(init_linear(keys[i], dims[i], dims[i + 1], dtype=dtype))
-            if i < num_layers - 1 and norm_type == "layer":
-                norms.append(
-                    {
-                        "scale": jnp.ones((dims[i + 1],), dtype),
-                        "bias": jnp.zeros((dims[i + 1],), dtype),
-                    }
-                )
-    return {"layers": layers, "norms": norms}
-
-
-def _layer_norm(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + 1e-5)
-    return y * p["scale"] + p["bias"]
+            if i < num_layers - 1 and norm_type != "none":
+                np_, ns = init_norm(norm_type, dims[i + 1], dtype=dtype)
+                norms.append(np_)
+                norm_state.append(ns)
+    params = {"layers": layers, "norms": norms}
+    if norm_type == "batch":
+        params["norm_state"] = norm_state
+    return params
 
 
 def apply_mlp(
@@ -63,16 +60,24 @@ def apply_mlp(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     norm_type: str = "none",
-) -> jnp.ndarray:
-    """Forward pass. ``rng`` is required when train=True and dropout>0."""
+):
+    """Forward pass. ``rng`` is required when train=True and dropout>0.
+
+    Returns ``h``; for norm_type="batch" returns ``(h, new_norm_state)``.
+    """
     h = x
     layers = params["layers"]
     n = len(layers)
+    new_state = []
     for i, layer in enumerate(layers):
         h = apply_linear(layer, h)
         if i != n - 1:
-            if norm_type == "layer":
-                h = _layer_norm(params["norms"][i], h)
+            if norm_type != "none":
+                st = params["norm_state"][i] if norm_type == "batch" else {}
+                h, st = apply_norm(
+                    norm_type, params["norms"][i], st, h, train=train
+                )
+                new_state.append(st)
             h = jax.nn.relu(h)
             if train and dropout > 0.0:
                 if rng is None:
@@ -80,4 +85,6 @@ def apply_mlp(
                 keep = 1.0 - dropout
                 mask = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, h.shape)
                 h = jnp.where(mask, h / keep, jnp.zeros_like(h))
+    if norm_type == "batch":
+        return h, new_state
     return h

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from llp_tpu.core.graph import Graph
 from llp_tpu.models.init import apply_linear, init_linear
+from llp_tpu.models.norms import apply_norm, check_norm_type, init_norm
 from llp_tpu.ops.spmm import spmm
 
 
@@ -67,21 +68,23 @@ def init_sage(
     norm_type: str = "none",
     dtype=jnp.float32,
 ) -> dict:
-    if norm_type not in ("none", "layer"):
-        raise NotImplementedError(f"norm_type={norm_type!r} not supported yet")
+    check_norm_type(norm_type)
     keys = jax.random.split(key, num_layers)
     dims = [in_channels] + [hidden_channels] * (num_layers - 1) + [out_channels]
     convs = [
         init_sage_conv(keys[i], dims[i], dims[i + 1], dtype=dtype)
         for i in range(num_layers)
     ]
-    norms = []
-    if norm_type == "layer":
-        norms = [
-            {"scale": jnp.ones((dims[i + 1],), dtype), "bias": jnp.zeros((dims[i + 1],), dtype)}
-            for i in range(num_layers - 1)
-        ]
-    return {"convs": convs, "norms": norms}
+    norms, norm_state = [], []
+    if norm_type != "none":
+        for i in range(num_layers - 1):
+            np_, ns = init_norm(norm_type, dims[i + 1], dtype=dtype)
+            norms.append(np_)
+            norm_state.append(ns)
+    params = {"convs": convs, "norms": norms}
+    if norm_type == "batch":
+        params["norm_state"] = norm_state
+    return params
 
 
 def apply_sage(
@@ -99,13 +102,13 @@ def apply_sage(
     conv_fn = _CONV_APPLY[conv]
     convs = params["convs"]
     h = x
+    new_state = []
     for i, cp in enumerate(convs[:-1]):
         h = conv_fn(cp, graph, h, impl=impl)
-        if norm_type == "layer":
-            np_ = params["norms"][i]
-            mu = jnp.mean(h, axis=-1, keepdims=True)
-            var = jnp.var(h, axis=-1, keepdims=True)
-            h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * np_["scale"] + np_["bias"]
+        if norm_type != "none":
+            st = params["norm_state"][i] if norm_type == "batch" else {}
+            h, st = apply_norm(norm_type, params["norms"][i], st, h, train=train)
+            new_state.append(st)
         h = jax.nn.relu(h)
         if train and dropout > 0.0:
             if rng is None:
@@ -113,4 +116,7 @@ def apply_sage(
             keep = 1.0 - dropout
             mask = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, h.shape)
             h = jnp.where(mask, h / keep, jnp.zeros_like(h))
-    return conv_fn(convs[-1], graph, h, impl=impl)
+    h = conv_fn(convs[-1], graph, h, impl=impl)
+    if norm_type == "batch":
+        return h, new_state
+    return h

@@ -230,18 +230,19 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         neg_mode=_effective_neg_mode(cfg, data["graph"].num_nodes),
         lr=cfg.lr,
         spmm_impl=cfg.spmm_impl,
+        norm_type=cfg.norm_type,
     )
     if production:
         eval_fn = make_production_eval_fn(
             encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
-            hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl,
+            hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl, norm_type=cfg.norm_type,
         )
         loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = ProductionRunLogger(cfg.runs)
     else:
         eval_fn = make_transductive_eval_fn(
             encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
-            hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl,
+            hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl, norm_type=cfg.norm_type,
         )
         loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = RunLogger(cfg.runs)
@@ -261,7 +262,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         probe_params = init_teacher_params(
             jax.random.PRNGKey(0), encoder=cfg.encoder, in_channels=in_dim,
             hidden_channels=cfg.hidden_channels, num_layers=cfg.num_layers,
-            predictor_mode=cfg.predictor,
+            predictor_mode=cfg.predictor, norm_type=cfg.norm_type,
         )
         snap = load_run_state(state_path, tx.init(probe_params))
         if snap is not None:
@@ -285,6 +286,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             hidden_channels=cfg.hidden_channels,
             num_layers=cfg.num_layers,
             predictor_mode=cfg.predictor,
+            norm_type=cfg.norm_type,
         )
         opt_state = tx.init(params)
         best_val, cnt_wait = 0.0, 0
@@ -441,16 +443,19 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         ps_method=cfg.ps_method,
         neg_mode=_effective_neg_mode(cfg, n),
         minibatch=cfg.minibatch,
+        norm_type=cfg.norm_type,
     )
     if production:
         eval_fn = make_production_eval_fn(
-            encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks
+            encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
+            norm_type=cfg.norm_type,
         )
         loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = ProductionRunLogger(cfg.runs)
     else:
         eval_fn = make_transductive_eval_fn(
-            encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks
+            encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
+            norm_type=cfg.norm_type,
         )
         loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = RunLogger(cfg.runs)
@@ -470,7 +475,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         probe = init_student_params(
             jax.random.PRNGKey(0), in_channels=in_dim,
             hidden_channels=cfg.hidden_channels, num_layers=cfg.num_layers,
-            predictor_mode=cfg.predictor,
+            predictor_mode=cfg.predictor, norm_type=cfg.norm_type,
         )
         snap = load_run_state(state_path, tx.init(probe))
         if snap is not None:
@@ -492,6 +497,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             hidden_channels=cfg.hidden_channels,
             num_layers=cfg.num_layers,
             predictor_mode=cfg.predictor,
+            norm_type=cfg.norm_type,
         )
         opt_state = tx.init(params)
         best_val, cnt_wait = 0.0, 0

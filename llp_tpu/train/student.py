@@ -43,7 +43,8 @@ from llp_tpu.sample.walk import sample_contexts
 from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
 
 
-def init_student_params(key, *, in_channels, hidden_channels, num_layers, predictor_mode):
+def init_student_params(key, *, in_channels, hidden_channels, num_layers,
+                        predictor_mode, norm_type="none"):
     """Student = MLP(num_layers, D, H, H) + LinkPredictor(H, H, 1, num_layers)
     (reference main.py:351-354)."""
     from llp_tpu.models.mlp import init_mlp
@@ -51,7 +52,10 @@ def init_student_params(key, *, in_channels, hidden_channels, num_layers, predic
 
     k1, k2 = jax.random.split(key)
     return {
-        "encoder": init_mlp(k1, num_layers, in_channels, hidden_channels, hidden_channels),
+        "encoder": init_mlp(
+            k1, num_layers, in_channels, hidden_channels, hidden_channels,
+            norm_type=norm_type,
+        ),
         "predictor": init_link_predictor(
             k2, predictor_mode, hidden_channels, hidden_channels, 1, num_layers
         ),
@@ -85,6 +89,7 @@ def make_student_epoch_fn(
     ps_method: str = "nb",
     neg_mode: str = "dense",
     minibatch: bool = False,
+    norm_type: str = "none",
 ):
     """Build the jitted student epoch.
 
@@ -104,6 +109,7 @@ def make_student_epoch_fn(
     pairs = pair_table(c) if (llp_r != 0.0 and use_kd) else None
 
     tx, _ = adam_init({}, lr)
+    stateful = norm_type == "batch"
 
     def batch_loss(params, rng, graph, x, t_h, tpred, edges, emask, anchors, amask, neg_keys):
         k_drop, k_pred, k_neg, k_ctx = jax.random.split(rng, 4)
@@ -129,8 +135,11 @@ def make_student_epoch_fn(
                 targets = jnp.concatenate([src, dst])
             hrows = apply_mlp(
                 params["encoder"], jnp.take(x, targets, axis=0),
-                dropout=dropout, train=True, rng=k_drop,
+                dropout=dropout, train=True, rng=k_drop, norm_type=norm_type,
             )
+            new_norm_state = None
+            if stateful:
+                hrows, new_norm_state = hrows
             if use_kd:
                 nctx = bn * (1 + c)
                 ctx_h = hrows[:nctx].reshape(bn, 1 + c, -1)
@@ -143,8 +152,12 @@ def make_student_epoch_fn(
                 dst_h = hrows[src.shape[0] :]
         else:
             h = apply_mlp(
-                params["encoder"], x, dropout=dropout, train=True, rng=k_drop
+                params["encoder"], x, dropout=dropout, train=True, rng=k_drop,
+                norm_type=norm_type,
             )
+            new_norm_state = None
+            if stateful:
+                h, new_norm_state = h
             if use_kd:
                 anchor_h = jnp.take(h, samples[:, 0], axis=0)
                 ctx_rest_h = jnp.take(h, samples[:, 1:].reshape(-1), axis=0).reshape(
@@ -206,7 +219,7 @@ def make_student_epoch_fn(
                     train=False,
                 )
                 loss = loss + kd_lm * mse_loss(out, t_out, fmask)
-        return loss
+        return loss, new_norm_state
 
     # Donate the consumed training state (see teacher.py).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -231,11 +244,18 @@ def make_student_epoch_fn(
             amask = nidx < num_nodes
             anchors = jnp.clip(nidx, 0, num_nodes - 1).astype(jnp.int32)
             rng = jax.random.fold_in(k_steps, i)
-            loss, grads = jax.value_and_grad(batch_loss)(
-                params, rng, graph, x, t_h, tpred, edges, emask, anchors, amask, neg_keys
-            )
+            (loss, new_norm_state), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(params, rng, graph, x, t_h, tpred, edges, emask, anchors, amask, neg_keys)
             grads = clip_by_group_norm(grads, 1.0)
             params, opt_state = adam_update(tx, grads, opt_state, params)
+            if stateful:
+                # Running batch-norm buffers: zero-grad under Adam; replace
+                # them with the forward pass's momentum-updated values.
+                params = dict(
+                    params,
+                    encoder=dict(params["encoder"], norm_state=new_norm_state),
+                )
             n = jnp.sum(emask.astype(jnp.float32))
             return (params, opt_state, tl + loss * n, tn + n), None
 

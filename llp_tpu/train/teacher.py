@@ -28,7 +28,7 @@ from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
 
 
 def init_teacher_params(key, *, encoder, in_channels, hidden_channels, num_layers,
-                        predictor_mode, predictor_layers=2):
+                        predictor_mode, predictor_layers=2, norm_type="none"):
     """Teacher = encoder + LinkPredictor(hidden, hidden, 1, 2) — predictor
     depth hardcoded to 2 in the reference (train_teacher_gnn.py:391-392)."""
     from llp_tpu.models.encoder import init_encoder
@@ -37,7 +37,8 @@ def init_teacher_params(key, *, encoder, in_channels, hidden_channels, num_layer
     k1, k2 = jax.random.split(key)
     return {
         "encoder": init_encoder(
-            k1, encoder, in_channels, hidden_channels, hidden_channels, num_layers
+            k1, encoder, in_channels, hidden_channels, hidden_channels,
+            num_layers, norm_type=norm_type,
         ),
         "predictor": init_link_predictor(
             k2, predictor_mode, hidden_channels, hidden_channels, 1, predictor_layers
@@ -57,6 +58,7 @@ def make_teacher_epoch_fn(
     neg_mode: str = "dense",
     lr: float = 0.005,
     spmm_impl: str = "xla",
+    norm_type: str = "none",
 ):
     """Build a jitted epoch function.
 
@@ -73,6 +75,8 @@ def make_teacher_epoch_fn(
 
     tx, _ = adam_init({}, lr)  # template; real state made by caller via tx.init
 
+    stateful = norm_type == "batch"
+
     def batch_loss(params, rng, graph, x, edges, mask, neg_keys):
         k_drop, k_pred, k_neg = jax.random.split(rng, 3)
         h = apply_encoder(
@@ -84,8 +88,12 @@ def make_teacher_epoch_fn(
             train=True,
             rng=k_drop,
             conv=conv,
+            norm_type=norm_type,
             impl=spmm_impl,
         )
+        new_norm_state = None
+        if stateful:
+            h, new_norm_state = h
         if neg_mode == "dense":
             neg = sample_negative_edges(k_neg, neg_keys, b, num_nodes)
         else:
@@ -100,7 +108,7 @@ def make_teacher_epoch_fn(
         )
         labels = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
         full_mask = jnp.concatenate([mask, mask])
-        return bce_loss(out, labels, full_mask)
+        return bce_loss(out, labels, full_mask), new_norm_state
 
     # params/opt_state are consumed and re-emitted every call: donate their
     # buffers so XLA updates in place instead of double-buffering HBM.
@@ -118,11 +126,18 @@ def make_teacher_epoch_fn(
             mask = idx < e
             edges = pos_edges[jnp.clip(idx, 0, e - 1)]
             rng = jax.random.fold_in(k_steps, i)
-            loss, grads = jax.value_and_grad(batch_loss)(
-                params, rng, graph, x, edges, mask, neg_keys
-            )
+            (loss, new_norm_state), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(params, rng, graph, x, edges, mask, neg_keys)
             grads = clip_by_group_norm(grads, 1.0)
             params, opt_state = adam_update(tx, grads, opt_state, params)
+            if stateful:
+                # Running batch-norm buffers: zero-grad under Adam; replace
+                # them with the forward pass's momentum-updated values.
+                params = dict(
+                    params,
+                    encoder=dict(params["encoder"], norm_state=new_norm_state),
+                )
             n = jnp.sum(mask.astype(jnp.float32))
             return (params, opt_state, total_loss + loss * n, total_n + n), None
 

@@ -40,6 +40,7 @@ class CommonConfig:
     dataset_dir: str = "./data"
     datasets: str = "cora"
     predictor: str = "mlp"  # 'inner' | 'mlp'
+    norm_type: str = "none"  # 'none' | 'layer' | 'batch' (inter-layer norms)
     patience: int = 100
     metric: str = "Hits@20"
     use_valedges_as_input: bool = False
@@ -61,6 +62,9 @@ class CommonConfig:
         return "uniform" if self.datasets == "collab" else "dense"
 
     def finalize(self):
+        from llp_tpu.models.norms import check_norm_type
+
+        check_norm_type(self.norm_type)
         if self.transductive == "transductive":
             self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
         else:
