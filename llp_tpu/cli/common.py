@@ -41,6 +41,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         "--spmm_impl", type=str, default="auto",
         choices=["auto", "xla", "pallas", "segsum"],
     )
+    p.add_argument(
+        "--compute_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="training compute dtype (fp32 master params; eval stays fp32)",
+    )
 
 
 def setup_device(spec: str) -> None:

@@ -28,8 +28,12 @@ def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarr
 
 
 def hadamard_inner_score(hi: jnp.ndarray, hj: jnp.ndarray) -> jnp.ndarray:
-    """sigmoid(<hi, hj>) — the 'inner' predictor (models.py:147-150)."""
-    return jax.nn.sigmoid(jnp.sum(hi * hj, axis=-1))
+    """sigmoid(<hi, hj>) — the 'inner' predictor (models.py:147-150).
+
+    Probabilities come back fp32 regardless of input dtype: the dot
+    accumulates in fp32, and downstream loss/metric math is fp32.
+    """
+    return jax.nn.sigmoid(jnp.sum(hi * hj, axis=-1, dtype=jnp.float32))
 
 
 def hadamard_mlp_score(
@@ -46,15 +50,18 @@ def hadamard_mlp_score(
     to drop the trailing singleton channel.
     """
     x = hi * hj
+    dt = x.dtype  # keep intermediates in compute dtype (fp32 accumulation)
     n = len(lins)
     for i, lin in enumerate(lins[:-1]):
-        x = jnp.dot(x, lin["w"], preferred_element_type=jnp.float32) + lin["b"]
+        x = (jnp.dot(x, lin["w"], preferred_element_type=jnp.float32) + lin["b"]).astype(dt)
         x = jax.nn.relu(x)
         if rng is not None and dropout > 0.0:
             x = _dropout(x, dropout, jax.random.fold_in(rng, i))
     x = jnp.dot(x, lins[-1]["w"], preferred_element_type=jnp.float32) + lins[-1]["b"]
     del n
-    return jax.nn.sigmoid(x.squeeze(-1)).astype(hi.dtype)
+    # fp32 probabilities even under bf16 compute: the final logit is a cheap
+    # (B,) vector and loss/metric math downstream is fp32.
+    return jax.nn.sigmoid(x.squeeze(-1).astype(jnp.float32))
 
 
 def score_edges(

@@ -113,13 +113,16 @@ def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
     lid = lid_ref[...]  # (BE, 1)
     valid = lid < RMAX
     lanes = jax.lax.broadcasted_iota(jnp.int32, (BE, RMAX), 1)
-    m = jnp.where((lid == lanes) & valid, 1.0, 0.0)
+    # One-hot in the message dtype (0/1 are exact in bf16): bf16 messages run
+    # the MXU at 2x fp32 rate and halve the msgs DMA; accumulation stays fp32
+    # via preferred_element_type + the fp32 scratch window.
+    m = jnp.where((lid == lanes) & valid, 1.0, 0.0).astype(msgs_ref.dtype)
     contrib = jax.lax.dot_general(
         m,
-        msgs_ref[...].astype(jnp.float32),
+        msgs_ref[...],
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (RMAX, DT)
+    )  # (RMAX, DT) fp32
     r0 = pl.multiple_of(r0_ref[b], 8)  # layout guarantees 8-aligned bases
     window = out_ref.at[pl.ds(r0, RMAX), pl.ds(d * DT, DT)]
 
@@ -183,7 +186,9 @@ def segment_sum_blocked(
         interpret = jax.default_backend() not in ("tpu", "axon")
     d = x.shape[1]
     d_pad = ((d + DT - 1) // DT) * DT
-    msgs = jnp.take(x, layout.senders, axis=0).astype(jnp.float32)
+    msgs = jnp.take(x, layout.senders, axis=0)
+    if msgs.dtype not in (jnp.float32, jnp.bfloat16):
+        msgs = msgs.astype(jnp.float32)
     if d_pad != d:
         msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
     out = _segsum_call(
@@ -246,10 +251,11 @@ def get_blocked_spmm_fn(graph, reduce: str):
         return fwd_impl(x), ()
 
     def f_bwd(_res, g):
-        gf = g.astype(jnp.float32)
         if reduce == "mean":
-            gf = gf * inv_deg[:, None]
-        dx = segment_sum_blocked(gf, lay_b, n)
+            # Scale in fp32, then return to the compute dtype so the backward
+            # gather/DMA stream stays half-width under bf16.
+            g = (g.astype(jnp.float32) * inv_deg[:, None]).astype(g.dtype)
+        dx = segment_sum_blocked(g, lay_b, n)
         return (dx.astype(g.dtype),)
 
     f.defvjp(f_fwd, f_bwd)

@@ -99,8 +99,8 @@ def _spmm_xla(
             else None
         )
         out = _sorted_spmm(
-            x.astype(acc_dtype),
-            graph.senders,
+            x,  # gathered in native dtype (half-width reads under bf16),
+            graph.senders,  # upcast to fp32 only for the scatter-accumulate
             graph.receivers,
             graph.col,
             graph.csr_row,
@@ -146,12 +146,13 @@ def _float0_like(a):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _sorted_spmm(x, senders, receivers, col, csr_row, n):
-    """sum-SpMM with sorted scatters in both directions.
+    """sum-SpMM with sorted scatters in both directions; output is fp32.
 
     Padded edges carry receiver/csr_row == n (out of range) and are dropped
-    by the segment op natively — no mask multiply needed.
+    by the segment op natively — no mask multiply needed.  The gather runs in
+    x's dtype (halving read bandwidth for bf16); accumulation is fp32.
     """
-    msgs = jnp.take(x, senders, axis=0)
+    msgs = jnp.take(x, senders, axis=0).astype(jnp.float32)
     return jax.ops.segment_sum(
         msgs, receivers, num_segments=n, indices_are_sorted=True
     )
@@ -163,17 +164,20 @@ def _sorted_spmm_fwd(x, senders, receivers, col, csr_row, n):
         receivers,
         col,
         csr_row,
+        jnp.zeros((0,), x.dtype),  # dtype witness for the cotangent
     )
 
 
 def _sorted_spmm_bwd(n, res, g):
-    senders, receivers, col, csr_row = res
+    senders, receivers, col, csr_row, proto = res
     # dx = A^T g: gather g at the ORIGINAL receivers of each sender-sorted
-    # edge (= col), scatter into the sorted senders (= csr_row).
-    msgs = jnp.take(g, col, axis=0)
+    # edge (= col), scatter into the sorted senders (= csr_row).  Round g to
+    # the compute dtype first (it was produced from it), keeping the gather
+    # stream half-width under bf16 while accumulating fp32.
+    msgs = jnp.take(g.astype(proto.dtype), col, axis=0).astype(jnp.float32)
     dx = jax.ops.segment_sum(msgs, csr_row, num_segments=n, indices_are_sorted=True)
     return (
-        dx,
+        dx.astype(proto.dtype),
         _float0_like(senders),
         _float0_like(receivers),
         _float0_like(col),

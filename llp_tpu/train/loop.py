@@ -231,6 +231,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         lr=cfg.lr,
         spmm_impl=cfg.spmm_impl,
         norm_type=cfg.norm_type,
+        compute_dtype=cfg.compute_dtype,
     )
     if production:
         eval_fn = make_production_eval_fn(
@@ -444,6 +445,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         neg_mode=_effective_neg_mode(cfg, n),
         minibatch=cfg.minibatch,
         norm_type=cfg.norm_type,
+        compute_dtype=cfg.compute_dtype,
     )
     if production:
         eval_fn = make_production_eval_fn(

@@ -41,6 +41,7 @@ from llp_tpu.ops.losses import (
 from llp_tpu.sample.negative import sample_negative_edges, sample_uniform_edges
 from llp_tpu.sample.walk import sample_contexts
 from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
+from llp_tpu.utils.precision import cast_params, resolve_dtype
 
 
 def init_student_params(key, *, in_channels, hidden_channels, num_layers,
@@ -90,6 +91,7 @@ def make_student_epoch_fn(
     neg_mode: str = "dense",
     minibatch: bool = False,
     norm_type: str = "none",
+    compute_dtype="float32",
 ):
     """Build the jitted student epoch.
 
@@ -110,8 +112,10 @@ def make_student_epoch_fn(
 
     tx, _ = adam_init({}, lr)
     stateful = norm_type == "batch"
+    cdtype = resolve_dtype(compute_dtype)
 
     def batch_loss(params, rng, graph, x, t_h, tpred, edges, emask, anchors, amask, neg_keys):
+        params = cast_params(params, cdtype)  # fwd/bwd in compute dtype
         k_drop, k_pred, k_neg, k_ctx = jax.random.split(rng, 4)
 
         if neg_mode == "dense":
@@ -224,6 +228,13 @@ def make_student_epoch_fn(
     # Donate the consumed training state (see teacher.py).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, key, graph, x, t_h, tpred, pos_edges, neg_keys):
+        # Cast the big read-only tensors once, outside the batch scan; the
+        # frozen teacher artifacts join the student in the compute dtype.
+        if x.dtype == jnp.float32:
+            x = x.astype(cdtype)
+        if t_h.dtype == jnp.float32:
+            t_h = t_h.astype(cdtype)
+        tpred = cast_params(tpred, cdtype)
         k_lperm, k_nperm, k_steps = jax.random.split(key, 3)
         lperm = jax.random.permutation(k_lperm, e)
         lpad = steps * bl - e

@@ -25,6 +25,7 @@ from llp_tpu.models.predictor import apply_link_predictor
 from llp_tpu.ops.losses import bce_loss
 from llp_tpu.sample.negative import sample_negative_edges, sample_uniform_edges
 from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
+from llp_tpu.utils.precision import cast_params, resolve_dtype
 
 
 def init_teacher_params(key, *, encoder, in_channels, hidden_channels, num_layers,
@@ -59,6 +60,7 @@ def make_teacher_epoch_fn(
     lr: float = 0.005,
     spmm_impl: str = "xla",
     norm_type: str = "none",
+    compute_dtype="float32",
 ):
     """Build a jitted epoch function.
 
@@ -76,8 +78,10 @@ def make_teacher_epoch_fn(
     tx, _ = adam_init({}, lr)  # template; real state made by caller via tx.init
 
     stateful = norm_type == "batch"
+    cdtype = resolve_dtype(compute_dtype)
 
     def batch_loss(params, rng, graph, x, edges, mask, neg_keys):
+        params = cast_params(params, cdtype)  # fwd/bwd in compute dtype
         k_drop, k_pred, k_neg = jax.random.split(rng, 3)
         h = apply_encoder(
             encoder,
@@ -114,6 +118,8 @@ def make_teacher_epoch_fn(
     # buffers so XLA updates in place instead of double-buffering HBM.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, key, graph: Graph, x, pos_edges, neg_keys):
+        if x.dtype == jnp.float32:
+            x = x.astype(cdtype)  # cast once, outside the scan
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, e)
         pad = steps * b - e

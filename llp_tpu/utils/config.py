@@ -49,6 +49,9 @@ class CommonConfig:
     seed_offset: int = 0  # teacher seeds run+0, student run+1 (reference)
     results_dir: str = "./results"
     spmm_impl: str = "auto"  # auto -> segsum kernel on TPU, xla elsewhere
+    # Training compute dtype: "float32" or "bfloat16" (fp32 master params,
+    # fp32 accumulation; eval always runs fp32). See utils/precision.py.
+    compute_dtype: str = "float32"
     checkpoint_every: int = 0  # epochs between train-state snapshots (0=off)
     resume: bool = False       # resume from the last snapshot if present
     profile_dir: str = ""      # jax.profiler trace output ("" = off)
@@ -63,8 +66,10 @@ class CommonConfig:
 
     def finalize(self):
         from llp_tpu.models.norms import check_norm_type
+        from llp_tpu.utils.precision import resolve_dtype
 
         check_norm_type(self.norm_type)
+        resolve_dtype(self.compute_dtype)  # validate early
         if self.transductive == "transductive":
             self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
         else:
