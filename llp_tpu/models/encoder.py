@@ -57,19 +57,66 @@ def apply_encoder(
     conv: str = "sage",
     norm_type: str = "none",
     impl: str = "xla",
+    x_agg=None,
 ):
-    """Returns ``h``; with norm_type="batch", ``(h, new_norm_state)``."""
+    """Returns ``h``; with norm_type="batch", ``(h, new_norm_state)``.
+
+    ``x_agg``: optional precomputed layer-1 aggregation of ``x`` (see
+    :func:`precompute_first_aggregation`) — exact, hoists one full-graph SpMM
+    out of every training batch.
+    """
     if name == "sage":
         return apply_sage(
             params, graph, x, dropout=dropout, train=train, rng=rng, conv=conv,
-            norm_type=norm_type, impl=impl,
+            norm_type=norm_type, impl=impl, x_agg=x_agg,
         )
     if name == "gcn":
         if norm_type != "none":
             raise ValueError("the GCN encoder has no inter-layer norms")
-        return apply_gcn(params, graph, x, dropout=dropout, train=train, rng=rng, impl=impl)
+        return apply_gcn(
+            params, graph, x, dropout=dropout, train=train, rng=rng, impl=impl,
+            x_agg=x_agg,
+        )
     if name == "mlp":
+        if x_agg is not None:
+            raise ValueError("the MLP encoder has no aggregation to hoist")
         return apply_mlp(
             params, x, dropout=dropout, train=train, rng=rng, norm_type=norm_type
         )
+    raise ValueError(f"unknown encoder {name!r}")
+
+
+def precompute_first_aggregation(
+    name: str,
+    graph: Optional[Graph],
+    x: jnp.ndarray,
+    *,
+    conv: str = "sage",
+    impl: str = "xla",
+):
+    """Layer-1 neighbor aggregation of the (training-invariant) input features.
+
+    GNN layer-1 aggregation commutes with the per-step layer weights
+    (``agg(xW) = agg(x)W`` for linear reductions), so it can run once per
+    epoch instead of once per batch — the reference recomputes the full-graph
+    forward every batch (reference train_teacher_gnn.py:40-44).  Returns the
+    tensor ``apply_encoder(..., x_agg=...)`` expects:
+
+    * sage / sage_updated: ``spmm_mean(x)``
+    * gcn: ``Â x`` (weighted sum + analytic self-loop term)
+    * mlp: ``None`` (no aggregation)
+    """
+    from llp_tpu.ops.spmm import spmm
+
+    if name == "mlp":
+        return None
+    if name == "gcn":
+        from llp_tpu.models.gcn import gcn_norm_coeffs
+
+        edge_w, self_w = gcn_norm_coeffs(graph)
+        out = spmm(graph, x, "sum", edge_weight=edge_w, impl=impl)
+        return out + self_w[:, None].astype(x.dtype) * x
+    if name == "sage":
+        del conv  # both variants hoist the same mean aggregation
+        return spmm(graph, x, "mean", impl=impl)
     raise ValueError(f"unknown encoder {name!r}")

@@ -48,7 +48,16 @@ def apply_gcn_conv(
     norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     *,
     impl: str = "xla",
+    x_agg: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """``x_agg`` — optional precomputed ``Â x`` (normalized adjacency incl.
+    the analytic self-loop term).  ``Â (x W) = (Â x) W`` by linearity, so the
+    train loops hoist the structure-only product out of the batch loop."""
+    if x_agg is not None:
+        out = jnp.dot(
+            x_agg, params["lin"]["w"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return out + params["lin"]["b"]
     if norm is None:
         norm = gcn_norm_coeffs(graph)
     edge_w, self_w = norm
@@ -88,6 +97,7 @@ def apply_gcn(
     rng: Optional[jax.Array] = None,
     norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     impl: str = "xla",
+    x_agg: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """ReLU + dropout between convs, nothing after the last (models.py:74-80)."""
     if norm is None:
@@ -95,7 +105,7 @@ def apply_gcn(
     convs = params["convs"]
     h = x
     for i, cp in enumerate(convs[:-1]):
-        h = apply_gcn_conv(cp, graph, h, norm, impl=impl)
+        h = apply_gcn_conv(cp, graph, h, norm, impl=impl, x_agg=x_agg if i == 0 else None)
         h = jax.nn.relu(h)
         if train and dropout > 0.0:
             if rng is None:
@@ -103,4 +113,7 @@ def apply_gcn(
             keep = 1.0 - dropout
             mask = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, h.shape)
             h = jnp.where(mask, h / keep, jnp.zeros_like(h))
-    return apply_gcn_conv(convs[-1], graph, h, norm, impl=impl)
+    return apply_gcn_conv(
+        convs[-1], graph, h, norm, impl=impl,
+        x_agg=x_agg if len(convs) == 1 else None,
+    )

