@@ -111,11 +111,9 @@ def precompute_first_aggregation(
     if name == "mlp":
         return None
     if name == "gcn":
-        from llp_tpu.models.gcn import gcn_norm_coeffs
+        from llp_tpu.models.gcn import _normalized_aggregate, gcn_norm_coeffs
 
-        edge_w, self_w = gcn_norm_coeffs(graph)
-        out = spmm(graph, x, "sum", edge_weight=edge_w, impl=impl)
-        return out + self_w[:, None].astype(x.dtype) * x
+        return _normalized_aggregate(graph, x, gcn_norm_coeffs(graph), impl=impl)
     if name == "sage":
         del conv  # both variants hoist the same mean aggregation
         return spmm(graph, x, "mean", impl=impl)

@@ -5,11 +5,13 @@ Matches PyG ``GCNConv(cached=True)`` as used by the reference ``GCN``
 
     x' = D̂^{-1/2} (A + I) D̂^{-1/2} · x · W + b,     D̂ = deg(A) + 1
 
-Implemented as a weighted SpMM over the real edges plus an analytic self-loop
-term (1/d̂_v per node), so the Graph container never needs self-loops added.
-The normalization coefficients depend only on graph structure — compute them
-once with :func:`gcn_norm_coeffs` and reuse across layers/steps (this is what
-``cached=True`` buys the reference).
+The per-edge weight ``1/sqrt(d̂_u d̂_v)`` separates into endpoint factors, so
+the conv is applied as ``inv_sqrt ⊙ spmm_sum(inv_sqrt ⊙ x) + (1/d̂) ⊙ x`` —
+an UNWEIGHTED sum over the real edges (which rides the fast Pallas segsum
+kernel) plus an analytic self-loop term; the Graph container never needs
+self-loops added.  The normalization coefficients depend only on graph
+structure — compute them once with :func:`gcn_norm_coeffs` and reuse across
+layers/steps (this is what ``cached=True`` buys the reference).
 """
 
 from __future__ import annotations
@@ -25,16 +27,31 @@ from llp_tpu.ops.spmm import spmm
 
 
 def gcn_norm_coeffs(graph: Graph) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Edge weights 1/sqrt(d̂_u d̂_v) (E_pad,) and self weights 1/d̂_v (N,).
+    """Factored sym-norm: node scalings ``1/sqrt(d̂_v)`` and self weights
+    ``1/d̂_v`` (both (N,)).  The per-edge weight ``1/sqrt(d̂_u d̂_v)`` is the
+    outer product of the endpoint factors, so the weighted aggregation
+    becomes pre/post scaling around an unweighted sum-SpMM.
 
     Degrees count real in-edges (the reference graphs are undirected so
     in == out); +1 for the implicit self-loop.
     """
     deg_hat = graph.in_degree.astype(jnp.float32) + 1.0
-    inv_sqrt = jax.lax.rsqrt(deg_hat)
-    ew = inv_sqrt[graph.senders] * inv_sqrt[graph.receivers]
-    ew = jnp.where(graph.edge_mask, ew, 0.0)
-    return ew, 1.0 / deg_hat
+    return jax.lax.rsqrt(deg_hat), 1.0 / deg_hat
+
+
+def _normalized_aggregate(
+    graph: Graph,
+    x: jnp.ndarray,
+    norm: Tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """``Â x`` via the factored normalization (unweighted kernel-fast SpMM)."""
+    inv_sqrt, self_w = norm
+    xs = x * inv_sqrt[:, None].astype(x.dtype)
+    out = spmm(graph, xs, reduce="sum", impl=impl)
+    out = out * inv_sqrt[:, None].astype(x.dtype)
+    return out + self_w[:, None].astype(x.dtype) * x
 
 
 def init_gcn_conv(key: jax.Array, din: int, dout: int, *, dtype=jnp.float32) -> dict:
@@ -60,13 +77,10 @@ def apply_gcn_conv(
         return out + params["lin"]["b"]
     if norm is None:
         norm = gcn_norm_coeffs(graph)
-    edge_w, self_w = norm
     xw = jnp.dot(x, params["lin"]["w"], preferred_element_type=jnp.float32).astype(
         x.dtype
     )
-    out = spmm(graph, xw, reduce="sum", edge_weight=edge_w, impl=impl)
-    out = out + self_w[:, None].astype(xw.dtype) * xw
-    return out + params["lin"]["b"]
+    return _normalized_aggregate(graph, xw, norm, impl=impl) + params["lin"]["b"]
 
 
 def init_gcn(
