@@ -174,6 +174,43 @@ def _segsum_call(local_ids, block_r0, msgs, *, num_blocks, n_out_pad, interpret)
     )(block_r0, local_ids, msgs, zeros)
 
 
+def _segment_sum_arrays(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    block_r0: jnp.ndarray,
+    *,
+    num_blocks: int,
+    n_out_pad: int,
+    num_segments: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Kernel entry over raw layout arrays (fp32 output, sliced to rows/cols).
+
+    Accepts traced layout arrays so it can run inside ``shard_map`` with
+    per-device layout slices (the static ``num_blocks``/``n_out_pad`` must be
+    shared across shards — pad per-shard layouts to the max block count).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    d = x.shape[1]
+    d_pad = ((d + DT - 1) // DT) * DT
+    msgs = jnp.take(x, senders, axis=0)
+    if msgs.dtype not in (jnp.float32, jnp.bfloat16):
+        msgs = msgs.astype(jnp.float32)
+    if d_pad != d:
+        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
+    out = _segsum_call(
+        local_ids,
+        block_r0,
+        msgs,
+        num_blocks=num_blocks,
+        n_out_pad=n_out_pad,
+        interpret=interpret,
+    )
+    return out[:num_segments, :d]
+
+
 def segment_sum_blocked(
     x: jnp.ndarray,
     layout: BlockedSegsumLayout,
@@ -182,24 +219,16 @@ def segment_sum_blocked(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Gather x rows by layout.senders and segment-sum them (sorted windows)."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
-    d = x.shape[1]
-    d_pad = ((d + DT - 1) // DT) * DT
-    msgs = jnp.take(x, layout.senders, axis=0)
-    if msgs.dtype not in (jnp.float32, jnp.bfloat16):
-        msgs = msgs.astype(jnp.float32)
-    if d_pad != d:
-        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
-    out = _segsum_call(
+    return _segment_sum_arrays(
+        x,
+        layout.senders,
         layout.local_ids,
         layout.block_r0,
-        msgs,
         num_blocks=layout.num_blocks,
         n_out_pad=layout.n_out_pad,
+        num_segments=num_segments,
         interpret=interpret,
     )
-    return out[:num_segments, :d]
 
 
 # ---- SpMM integration (cached closures per graph, like the tile kernel) ------
@@ -275,3 +304,130 @@ def spmm_segsum(graph, x: jnp.ndarray, reduce: str) -> jnp.ndarray:
 
         return _spmm_xla(graph, x, "max")
     return get_blocked_spmm_fn(graph, reduce)(x)
+
+
+# ---- edge-partitioned (shard_map) integration --------------------------------
+
+
+class ShardedSegsumLayouts(NamedTuple):
+    """Per-shard blocked layouts, stacked on a leading shard axis.
+
+    Forward: each device's contiguous slice of the receiver-sorted canonical
+    COO (still sorted). Backward: the SAME edge shard re-sorted by sender, so
+    ``dx_local = A_shard^T g`` also runs through the windowed kernel.  All
+    shards are padded to common block counts so one program serves every
+    device under ``shard_map``.
+    """
+
+    fwd_senders: jnp.ndarray  # (P, Bf*BE) int32
+    fwd_local: jnp.ndarray    # (P, Bf*BE, 1) int32
+    fwd_r0: jnp.ndarray       # (P, Bf) int32
+    bwd_senders: jnp.ndarray  # (P, Bb*BE) int32 — gather indices (receivers)
+    bwd_local: jnp.ndarray    # (P, Bb*BE, 1) int32 — window-local senders
+    bwd_r0: jnp.ndarray       # (P, Bb) int32
+    num_blocks_f: int         # static, max over shards
+    num_blocks_b: int
+    n_out_pad: int
+    num_shards: int
+
+
+def _pad_stack(layouts, num_blocks: int):
+    """Pad per-shard BlockedSegsumLayouts to ``num_blocks`` and stack."""
+    s_list, l_list, r_list = [], [], []
+    for lay in layouts:
+        pad_b = num_blocks - lay.num_blocks
+        s = np.asarray(lay.senders)
+        l = np.asarray(lay.local_ids)
+        r = np.asarray(lay.block_r0)
+        if pad_b:
+            s = np.concatenate([s, np.zeros((pad_b * BE,), np.int32)])
+            l = np.concatenate([l, np.full((pad_b * BE, 1), RMAX, np.int32)])
+            r = np.concatenate([r, np.zeros((pad_b,), np.int32)])
+        s_list.append(s)
+        l_list.append(l)
+        r_list.append(r)
+    return (
+        jnp.asarray(np.stack(s_list)),
+        jnp.asarray(np.stack(l_list)),
+        jnp.asarray(np.stack(r_list)),
+    )
+
+
+def build_shard_layouts(graph, num_shards: int) -> ShardedSegsumLayouts:
+    """Host-side prep for the sharded kernel path (call outside jit).
+
+    The sharded train steps split the PADDED edge arrays into ``num_shards``
+    contiguous chunks; this builds each chunk's forward (receiver-sorted, as
+    stored) and backward (sender-re-sorted) window layouts.  Padded edges
+    carry receiver ``n`` and are routed to output rows >= n (sliced away);
+    for the backward sort they are masked to segment ``n`` likewise.
+    """
+    n = graph.num_nodes
+    e_pad = graph.num_padded_edges
+    if e_pad % num_shards:
+        raise ValueError(f"padded edge count {e_pad} not divisible by {num_shards}")
+    chunk = e_pad // num_shards
+    send = np.asarray(jax.device_get(graph.senders))
+    recv = np.asarray(jax.device_get(graph.receivers))
+    mask = np.asarray(jax.device_get(graph.edge_mask))
+
+    fwd, bwd = [], []
+    for s in range(num_shards):
+        sl = slice(s * chunk, (s + 1) * chunk)
+        cs, cr, cm = send[sl], recv[sl], mask[sl]
+        fwd.append(build_blocked_layout(cr.astype(np.int64), cs, n))
+        # Backward: this shard's edges sorted by sender; padded edges pushed
+        # to segment n (out of the sliced output).
+        seg_b = np.where(cm, cs, n).astype(np.int64)
+        idx_b = np.where(cm, cr, 0).astype(np.int64)
+        order = np.argsort(seg_b, kind="stable")
+        bwd.append(build_blocked_layout(seg_b[order], idx_b[order], n))
+
+    nb_f = max(l.num_blocks for l in fwd)
+    nb_b = max(l.num_blocks for l in bwd)
+    fs, fl, fr = _pad_stack(fwd, nb_f)
+    bs, bl, br = _pad_stack(bwd, nb_b)
+    return ShardedSegsumLayouts(
+        fs, fl, fr, bs, bl, br, nb_f, nb_b, fwd[0].n_out_pad, num_shards
+    )
+
+
+def make_local_blocked_sum(layouts: ShardedSegsumLayouts, num_nodes: int):
+    """Device-local sum-SpMM over one edge shard, kernel-accelerated in both
+    directions; differentiable (custom VJP).  For use INSIDE ``shard_map``:
+
+        partial = f(x, fs, fl, fr0, bs, bl, br0)   # (N, D) fp32 partial sums
+        out = psum(partial, axis)                  # caller merges + scales
+
+    where the layout slices are the device's rows of the stacked arrays.
+    """
+    nb_f, nb_b = layouts.num_blocks_f, layouts.num_blocks_b
+    n_out_pad = layouts.n_out_pad
+
+    def _f0(a):
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def f(x, fs, fl, fr0, bs, bl, br0):
+        return _segment_sum_arrays(
+            x, fs, fl, fr0,
+            num_blocks=nb_f, n_out_pad=n_out_pad, num_segments=num_nodes,
+        )
+
+    def f_fwd(x, fs, fl, fr0, bs, bl, br0):
+        res = (fs, fl, fr0, bs, bl, br0, jnp.zeros((0,), x.dtype))
+        return f(x, fs, fl, fr0, bs, bl, br0), res
+
+    def f_bwd(res, g):
+        fs, fl, fr0, bs, bl, br0, proto = res
+        dx = _segment_sum_arrays(
+            g.astype(proto.dtype), bs, bl, br0,
+            num_blocks=nb_b, n_out_pad=n_out_pad, num_segments=num_nodes,
+        )
+        return (
+            dx.astype(proto.dtype),
+            _f0(fs), _f0(fl), _f0(fr0), _f0(bs), _f0(bl), _f0(br0),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f

@@ -65,6 +65,40 @@ def make_sharded_spmm(mesh: Mesh, num_nodes: int, axis: str = "data") -> Callabl
     return spmm_fn
 
 
+def make_sharded_segsum_spmm(mesh: Mesh, layouts, num_nodes: int, axis: str = "data"):
+    """Edge-partitioned SpMM where each device's local aggregation (fwd and
+    bwd) runs through the windowed Pallas segsum kernel; a single psum merges
+    the partial node sums.  ``layouts`` from ``build_shard_layouts(graph,
+    mesh.size)``.  Returns ``spmm_fn(x, in_degree, reduce)``; differentiable.
+    """
+    from llp_tpu.ops.pallas.segsum_kernel import make_local_blocked_sum
+
+    local = make_local_blocked_sum(layouts, num_nodes)
+    lay_args = (
+        layouts.fwd_senders, layouts.fwd_local, layouts.fwd_r0,
+        layouts.bwd_senders, layouts.bwd_local, layouts.bwd_r0,
+    )
+
+    @partial(jax.jit, static_argnames=("reduce",))
+    def spmm_fn(x, in_degree, reduce="mean"):
+        def body(x, in_deg, *lay_stacked):
+            lay = tuple(a[0] for a in lay_stacked)
+            out = jax.lax.psum(local(x, *lay), axis)
+            if reduce == "mean":
+                out = out / jnp.maximum(in_deg.astype(jnp.float32), 1.0)[:, None]
+            return out.astype(x.dtype)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P()) + (P(axis),) * len(lay_args),
+            out_specs=P(),
+            check_vma=False,
+        )(x, in_degree, *lay_args)
+
+    return spmm_fn
+
+
 def _sage_forward(params, x, spmm_local, *, dropout, rng, conv="sage"):
     """SAGE stack using a caller-supplied (already device-local) spmm."""
     convs = params["convs"]
@@ -96,6 +130,7 @@ def make_sharded_teacher_step(
     dropout: float = 0.5,
     lr: float = 0.005,
     axis: str = "data",
+    segsum_layouts=None,
 ):
     """One DP+edge-partitioned teacher train step.
 
@@ -106,21 +141,36 @@ def make_sharded_teacher_step(
     replicated.  ``pos_batch``/``neg_batch``: (B, 2) int32; ``batch_mask``:
     (B,) bool.  Negatives are pre-sampled on the host/driver (sharded
     rejection sampling arrives with the sharded sampler).
+
+    ``segsum_layouts``: optional
+    :class:`llp_tpu.ops.pallas.segsum_kernel.ShardedSegsumLayouts` (from
+    ``build_shard_layouts(graph, mesh.size)``) — routes each device's local
+    aggregation (both directions) through the windowed Pallas kernel instead
+    of the XLA scatter.
     """
     import optax
 
     tx = optax.adam(lr)
+    local_sum = None
+    if segsum_layouts is not None:
+        from llp_tpu.ops.pallas.segsum_kernel import make_local_blocked_sum
+
+        local_sum = make_local_blocked_sum(segsum_layouts, num_nodes)
 
     def device_loss(params, rng, senders, receivers, emask, in_deg, x,
-                    pos, neg, bmask):
+                    pos, neg, bmask, lay):
         def spmm_local(feats):
             acc = jnp.float32
-            msgs = jnp.take(feats, senders, axis=0).astype(acc)
-            msgs = jnp.where(emask[:, None], msgs, 0.0)
-            # Contiguous shards of the receiver-sorted canonical COO stay sorted.
-            out = jax.ops.segment_sum(
-                msgs, receivers, num_segments=num_nodes, indices_are_sorted=True
-            )
+            if local_sum is not None:
+                out = local_sum(feats, *lay)
+            else:
+                msgs = jnp.take(feats, senders, axis=0).astype(acc)
+                msgs = jnp.where(emask[:, None], msgs, 0.0)
+                # Contiguous shards of the receiver-sorted canonical COO stay
+                # sorted.
+                out = jax.ops.segment_sum(
+                    msgs, receivers, num_segments=num_nodes, indices_are_sorted=True
+                )
             out = jax.lax.psum(out, axis)
             out = out / jnp.maximum(in_deg.astype(acc), 1.0)[:, None]
             return out.astype(feats.dtype)
@@ -151,11 +201,23 @@ def make_sharded_teacher_step(
         den = jax.lax.psum(jnp.sum(fmask), axis)
         return num / jnp.maximum(den, 1.0)
 
-    def sharded_grad(params, rng, senders, receivers, emask, in_deg, x, pos, neg, bmask):
+    def sharded_grad(params, rng, senders, receivers, emask, in_deg, x, pos,
+                     neg, bmask, *lay_stacked):
+        # Layout slices arrive with a leading shard dim of 1 — drop it.
+        lay = tuple(a[0] for a in lay_stacked)
         loss, grads = jax.value_and_grad(device_loss)(
-            params, rng, senders, receivers, emask, in_deg, x, pos, neg, bmask
+            params, rng, senders, receivers, emask, in_deg, x, pos, neg, bmask,
+            lay,
         )
         return loss, grads
+
+    lay_args = ()
+    if segsum_layouts is not None:
+        lay_args = (
+            segsum_layouts.fwd_senders, segsum_layouts.fwd_local,
+            segsum_layouts.fwd_r0, segsum_layouts.bwd_senders,
+            segsum_layouts.bwd_local, segsum_layouts.bwd_r0,
+        )
 
     @jax.jit
     def step_fn(params, opt_state, rng, senders, receivers, edge_mask,
@@ -174,11 +236,11 @@ def make_sharded_teacher_step(
                 P(axis),    # pos_batch
                 P(axis),    # neg_batch
                 P(axis),    # batch_mask
-            ),
+            ) + (P(axis),) * len(lay_args),  # per-shard kernel layouts
             out_specs=(P(), P()),
             check_vma=False,
         )(params, rng, senders, receivers, edge_mask, in_degree, x,
-          pos_batch, neg_batch, batch_mask)
+          pos_batch, neg_batch, batch_mask, *lay_args)
         grads = clip_by_group_norm(grads, 1.0)
         params, opt_state = adam_update(tx, grads, opt_state, params)
         return params, opt_state, loss
