@@ -42,6 +42,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         choices=["auto", "xla", "pallas", "segsum"],
     )
     p.add_argument(
+        "--epochs_per_jit", type=int, default=1,
+        help="fuse N epochs into one device program (must divide eval_steps)",
+    )
+    p.add_argument(
         "--compute_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"],
         help="training compute dtype (fp32 master params; eval stays fp32)",

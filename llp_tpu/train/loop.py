@@ -219,7 +219,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         elif data.get("eval_graph") is not None and data["eval_graph"] is not data["graph"]:
             prepare_segsum(data["eval_graph"])
 
-    epoch_fn, tx = make_teacher_epoch_fn(
+    teacher_kwargs = dict(
         encoder=cfg.encoder,
         conv=conv,
         predictor_mode=cfg.predictor,
@@ -233,6 +233,11 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         norm_type=cfg.norm_type,
         compute_dtype=cfg.compute_dtype,
     )
+    epoch_fn, tx = make_teacher_epoch_fn(**teacher_kwargs)
+    block = max(cfg.epochs_per_jit, 1)
+    block_fn = None
+    if block > 1:
+        block_fn, _ = make_teacher_epoch_fn(**teacher_kwargs, epochs_per_call=block)
     if production:
         eval_fn = make_production_eval_fn(
             encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
@@ -298,14 +303,34 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             epoch_start = resume_epoch + 1
             resume_state = None
 
-        for epoch in range(epoch_start, epochs + 1):
+        epoch = epoch_start
+        while epoch <= epochs:
             meter.start_epoch()
-            params, opt_state, loss = epoch_fn(
-                params, opt_state, jax.random.fold_in(key, epoch),
-                data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
-            )
+            if (
+                block_fn is not None
+                and (epoch - 1) % block == 0
+                and epoch + block - 1 <= epochs
+            ):
+                # Fused multi-epoch program: per-epoch keys identical to the
+                # unfused stream (fold_in(key, e) for each epoch in the block).
+                bkeys = jnp.stack(
+                    [jax.random.fold_in(key, e) for e in range(epoch, epoch + block)]
+                )
+                params, opt_state, losses = block_fn(
+                    params, opt_state, bkeys,
+                    data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
+                )
+                loss = losses[-1]
+                ran = block
+                epoch = epoch + block - 1
+            else:
+                params, opt_state, loss = epoch_fn(
+                    params, opt_state, jax.random.fold_in(key, epoch),
+                    data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
+                )
+                ran = 1
             if epoch % max(cfg.eval_steps, 1) != 0:
-                meter.end_epoch()
+                meter.end_epoch(ran)
                 if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
                     save_run_state(
                         state_path, params=params, opt_state=opt_state, run=run,
@@ -313,6 +338,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                         val_max=val_max,
                         logger_results={k: lg.results for k, lg in loggers.items()},
                     )
+                epoch += 1
                 continue
             if production:
                 results, h = eval_fn(
@@ -338,7 +364,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                         k: (results[k][0], results_full[k][1]) for k in results
                     }
             results = _fetch_results(results)
-            meter.end_epoch()
+            meter.end_epoch(ran)
             val = results[cfg.metric][0]
 
             if val > val_max:
@@ -385,6 +411,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 )
             if cnt_wait >= cfg.patience:
                 break
+            epoch += 1
 
     if best_artifact is not None:
         bp, bh, bmeta = best_artifact

@@ -61,6 +61,7 @@ def make_teacher_epoch_fn(
     spmm_impl: str = "xla",
     norm_type: str = "none",
     compute_dtype="float32",
+    epochs_per_call: int = 1,
 ):
     """Build a jitted epoch function.
 
@@ -70,6 +71,12 @@ def make_teacher_epoch_fn(
     and ``pos_edges`` is the full (E, 2) positive edge array, ``neg_keys`` the
     sorted int32 exclusion keys for dense negative sampling (ignored for
     neg_mode='uniform', the collab path).
+
+    ``epochs_per_call > 1`` fuses that many epochs into ONE device program
+    (epoch-level ``lax.scan``): the per-dispatch tunnel latency and the
+    layer-1 aggregation hoist amortize across the block.  ``key`` must then
+    be a stacked (epochs_per_call, ...) array of per-epoch keys, and the
+    returned loss is the (epochs_per_call,) per-epoch mean-loss vector.
     """
     e = num_pos_edges
     b = min(link_batch_size, e)
@@ -121,41 +128,50 @@ def make_teacher_epoch_fn(
     def epoch_fn(params, opt_state, key, graph: Graph, x, pos_edges, neg_keys):
         if x.dtype == jnp.float32:
             x = x.astype(cdtype)  # cast once, outside the scan
-        # Layer-1 aggregation is weight-free: one full-graph SpMM per EPOCH
+        # Layer-1 aggregation is weight-free: one full-graph SpMM per PROGRAM
         # instead of per batch (exact — aggregation commutes with weights).
         x_agg = precompute_first_aggregation(encoder, graph, x, conv=conv, impl=spmm_impl)
-        k_perm, k_steps = jax.random.split(key)
-        perm = jax.random.permutation(k_perm, e)
-        pad = steps * b - e
-        perm = jnp.concatenate([perm, jnp.full((pad,), e, perm.dtype)])
-        perm = perm.reshape(steps, b)
 
-        def step(carry, inp):
-            params, opt_state, total_loss, total_n = carry
-            idx, i = inp
-            mask = idx < e
-            edges = pos_edges[jnp.clip(idx, 0, e - 1)]
-            rng = jax.random.fold_in(k_steps, i)
-            (loss, new_norm_state), grads = jax.value_and_grad(
-                batch_loss, has_aux=True
-            )(params, rng, graph, x, x_agg, edges, mask, neg_keys)
-            grads = clip_by_group_norm(grads, 1.0)
-            params, opt_state = adam_update(tx, grads, opt_state, params)
-            if stateful:
-                # Running batch-norm buffers: zero-grad under Adam; replace
-                # them with the forward pass's momentum-updated values.
-                params = dict(
-                    params,
-                    encoder=dict(params["encoder"], norm_state=new_norm_state),
-                )
-            n = jnp.sum(mask.astype(jnp.float32))
-            return (params, opt_state, total_loss + loss * n, total_n + n), None
+        def one_epoch(carry, ekey):
+            params, opt_state = carry
+            k_perm, k_steps = jax.random.split(ekey)
+            perm = jax.random.permutation(k_perm, e)
+            pad = steps * b - e
+            perm = jnp.concatenate([perm, jnp.full((pad,), e, perm.dtype)])
+            perm = perm.reshape(steps, b)
 
-        (params, opt_state, tl, tn), _ = jax.lax.scan(
-            step,
-            (params, opt_state, jnp.float32(0.0), jnp.float32(0.0)),
-            (perm, jnp.arange(steps)),
+            def step(carry, inp):
+                params, opt_state, total_loss, total_n = carry
+                idx, i = inp
+                mask = idx < e
+                edges = pos_edges[jnp.clip(idx, 0, e - 1)]
+                rng = jax.random.fold_in(k_steps, i)
+                (loss, new_norm_state), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(params, rng, graph, x, x_agg, edges, mask, neg_keys)
+                grads = clip_by_group_norm(grads, 1.0)
+                params, opt_state = adam_update(tx, grads, opt_state, params)
+                if stateful:
+                    # Running batch-norm buffers: zero-grad under Adam;
+                    # replace them with the forward's momentum-updated values.
+                    params = dict(
+                        params,
+                        encoder=dict(params["encoder"], norm_state=new_norm_state),
+                    )
+                n = jnp.sum(mask.astype(jnp.float32))
+                return (params, opt_state, total_loss + loss * n, total_n + n), None
+
+            (params, opt_state, tl, tn), _ = jax.lax.scan(
+                step,
+                (params, opt_state, jnp.float32(0.0), jnp.float32(0.0)),
+                (perm, jnp.arange(steps)),
+            )
+            return (params, opt_state), tl / jnp.maximum(tn, 1.0)
+
+        keys = key[None] if epochs_per_call == 1 else key
+        (params, opt_state), losses = jax.lax.scan(
+            one_epoch, (params, opt_state), keys
         )
-        return params, opt_state, tl / jnp.maximum(tn, 1.0)
+        return params, opt_state, losses[0] if epochs_per_call == 1 else losses
 
     return epoch_fn, tx

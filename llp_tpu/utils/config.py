@@ -53,6 +53,10 @@ class CommonConfig:
     # fp32 accumulation; eval always runs fp32). See utils/precision.py.
     compute_dtype: str = "float32"
     checkpoint_every: int = 0  # epochs between train-state snapshots (0=off)
+    # Fuse this many epochs into one device program between evaluations
+    # (amortizes dispatch latency + the layer-1 aggregation hoist). Must
+    # divide eval_steps; snapshots/logs then land at block granularity.
+    epochs_per_jit: int = 1
     resume: bool = False       # resume from the last snapshot if present
     profile_dir: str = ""      # jax.profiler trace output ("" = off)
 
@@ -70,6 +74,11 @@ class CommonConfig:
 
         check_norm_type(self.norm_type)
         resolve_dtype(self.compute_dtype)  # validate early
+        if self.epochs_per_jit > 1 and max(self.eval_steps, 1) % self.epochs_per_jit:
+            raise ValueError(
+                f"epochs_per_jit={self.epochs_per_jit} must divide "
+                f"eval_steps={self.eval_steps}"
+            )
         if self.transductive == "transductive":
             self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
         else:

@@ -26,9 +26,12 @@ class ThroughputMeter:
     def start_epoch(self) -> None:
         self._t0 = time.perf_counter()
 
-    def end_epoch(self) -> None:
+    def end_epoch(self, n_epochs: int = 1) -> None:
+        """Close the timing window; ``n_epochs > 1`` when a fused multi-epoch
+        program ran (records the per-epoch average n times)."""
         if self._t0 is not None:
-            self.epoch_times.append(time.perf_counter() - self._t0)
+            dt = (time.perf_counter() - self._t0) / max(n_epochs, 1)
+            self.epoch_times.extend([dt] * max(n_epochs, 1))
             self._t0 = None
 
     @property

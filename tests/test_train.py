@@ -162,3 +162,58 @@ def test_transductive_eval_shapes():
         assert len(v) == 2
         assert all(0.0 <= float(t) <= 1.0 for t in v)
     assert h.shape == (g.num_nodes, 16)
+
+
+def test_teacher_multi_epoch_fusion_matches_singles():
+    """epochs_per_call=K with stacked fold_in keys reproduces K single-epoch
+    calls bit-for-bit (same RNG stream, same scan math)."""
+    g, x, pos, keys = _problem()
+    kwargs = dict(
+        encoder="sage", predictor_mode="mlp", dropout=0.0,
+        num_nodes=g.num_nodes, num_pos_edges=int(pos.shape[0]),
+        link_batch_size=256, neg_mode="dense", lr=0.01,
+    )
+    single, tx = make_teacher_epoch_fn(**kwargs)
+    fused, _ = make_teacher_epoch_fn(**kwargs, epochs_per_call=3)
+    params = init_teacher_params(
+        jax.random.PRNGKey(0), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+    base = jax.random.PRNGKey(11)
+
+    p1, s1 = copy(params), tx.init(copy(params))
+    singles_losses = []
+    for e in range(1, 4):
+        p1, s1, l = single(p1, s1, jax.random.fold_in(base, e), g, x, pos, keys)
+        singles_losses.append(float(l))
+
+    p2, s2 = copy(params), tx.init(copy(params))
+    bkeys = jnp.stack([jax.random.fold_in(base, e) for e in range(1, 4)])
+    p2, s2, losses = fused(p2, s2, bkeys, g, x, pos, keys)
+
+    np.testing.assert_allclose(np.asarray(losses), singles_losses, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_teacher_epochs_per_jit_equivalent(tmp_path):
+    """Driver-level: epochs_per_jit=2 produces the same logger history."""
+    from llp_tpu.train.loop import run_teacher
+    from llp_tpu.utils.config import TeacherConfig
+
+    common = dict(
+        datasets="synthetic:sbm:300:4:6.0:2", dataset_dir=str(tmp_path),
+        runs=1, epochs=6, eval_steps=2, patience=50, hidden_channels=32,
+        batch_size=1024, results_dir=str(tmp_path / "r"),
+        spmm_impl="xla", log_steps=100,
+    )
+    s1, log1 = run_teacher(
+        TeacherConfig(save_dir=str(tmp_path / "s1"), **common), verbose=False
+    )
+    s2, log2 = run_teacher(
+        TeacherConfig(save_dir=str(tmp_path / "s2"), epochs_per_jit=2, **common),
+        verbose=False,
+    )
+    assert log1["AUC"].results == log2["AUC"].results
+    assert s1 == s2
