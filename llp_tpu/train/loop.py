@@ -451,7 +451,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
 
     node_bs = cfg.coupled_node_batch_size(n, data["num_pos"])
 
-    epoch_fn, tx = make_student_epoch_fn(
+    student_kwargs = dict(
         num_nodes=n,
         num_pos_edges=data["num_pos"],
         link_batch_size=cfg.link_batch_size,
@@ -474,6 +474,11 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         norm_type=cfg.norm_type,
         compute_dtype=cfg.compute_dtype,
     )
+    epoch_fn, tx = make_student_epoch_fn(**student_kwargs)
+    block = max(cfg.epochs_per_jit, 1)
+    block_fn = None
+    if block > 1:
+        block_fn, _ = make_student_epoch_fn(**student_kwargs, epochs_per_call=block)
     if production:
         eval_fn = make_production_eval_fn(
             encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
@@ -537,15 +542,34 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             epoch_start = resume_epoch + 1
             resume_state = None
 
-        for epoch in range(epoch_start, epochs + 1):
+        epoch = epoch_start
+        while epoch <= epochs:
             meter.start_epoch()
-            params, opt_state, loss = epoch_fn(
-                params, opt_state, jax.random.fold_in(key, epoch),
-                data["graph"], data["x"], t_h, teacher_pred,
-                data["pos_edges"], data["neg_keys"],
-            )
+            if (
+                block_fn is not None
+                and (epoch - 1) % block == 0
+                and epoch + block - 1 <= epochs
+            ):
+                bkeys = jnp.stack(
+                    [jax.random.fold_in(key, e) for e in range(epoch, epoch + block)]
+                )
+                params, opt_state, losses = block_fn(
+                    params, opt_state, bkeys,
+                    data["graph"], data["x"], t_h, teacher_pred,
+                    data["pos_edges"], data["neg_keys"],
+                )
+                loss = losses[-1]
+                ran = block
+                epoch = epoch + block - 1
+            else:
+                params, opt_state, loss = epoch_fn(
+                    params, opt_state, jax.random.fold_in(key, epoch),
+                    data["graph"], data["x"], t_h, teacher_pred,
+                    data["pos_edges"], data["neg_keys"],
+                )
+                ran = 1
             if epoch % max(cfg.eval_steps, 1) != 0:
-                meter.end_epoch()
+                meter.end_epoch(ran)
                 if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
                     save_run_state(
                         state_path, params=params, opt_state=opt_state, run=run,
@@ -553,6 +577,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                         val_max=0.0,
                         logger_results={k: lg.results for k, lg in loggers.items()},
                     )
+                epoch += 1
                 continue
             if production:
                 results, _ = eval_fn(
@@ -567,7 +592,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                     ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
                 )
             results = _fetch_results(results)
-            meter.end_epoch()
+            meter.end_epoch(ran)
             val = results[cfg.metric][0]
             if val >= best_val:
                 best_val, cnt_wait = val, 0
@@ -590,6 +615,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 )
             if cnt_wait >= cfg.patience:
                 break
+            epoch += 1
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}
     perf = meter.summary()

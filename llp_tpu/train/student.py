@@ -92,6 +92,7 @@ def make_student_epoch_fn(
     minibatch: bool = False,
     norm_type: str = "none",
     compute_dtype="float32",
+    epochs_per_call: int = 1,
 ):
     """Build the jitted student epoch.
 
@@ -235,46 +236,56 @@ def make_student_epoch_fn(
         if t_h.dtype == jnp.float32:
             t_h = t_h.astype(cdtype)
         tpred = cast_params(tpred, cdtype)
-        k_lperm, k_nperm, k_steps = jax.random.split(key, 3)
-        lperm = jax.random.permutation(k_lperm, e)
-        lpad = steps * bl - e
-        lperm = jnp.concatenate([lperm, jnp.full((lpad,), e, lperm.dtype)]).reshape(
-            steps, bl
-        )
-        nperm = jax.random.permutation(k_nperm, num_nodes)
-        npad = max(steps * bn - num_nodes, 0)
-        nperm = jnp.concatenate(
-            [nperm, jnp.full((npad,), num_nodes, nperm.dtype)]
-        )[: steps * bn].reshape(steps, bn)
 
-        def step(carry, inp):
-            params, opt_state, tl, tn = carry
-            lidx, nidx, i = inp
-            emask = lidx < e
-            edges = pos_edges[jnp.clip(lidx, 0, e - 1)]
-            amask = nidx < num_nodes
-            anchors = jnp.clip(nidx, 0, num_nodes - 1).astype(jnp.int32)
-            rng = jax.random.fold_in(k_steps, i)
-            (loss, new_norm_state), grads = jax.value_and_grad(
-                batch_loss, has_aux=True
-            )(params, rng, graph, x, t_h, tpred, edges, emask, anchors, amask, neg_keys)
-            grads = clip_by_group_norm(grads, 1.0)
-            params, opt_state = adam_update(tx, grads, opt_state, params)
-            if stateful:
-                # Running batch-norm buffers: zero-grad under Adam; replace
-                # them with the forward pass's momentum-updated values.
-                params = dict(
-                    params,
-                    encoder=dict(params["encoder"], norm_state=new_norm_state),
-                )
-            n = jnp.sum(emask.astype(jnp.float32))
-            return (params, opt_state, tl + loss * n, tn + n), None
+        def one_epoch(carry, ekey):
+            params, opt_state = carry
+            k_lperm, k_nperm, k_steps = jax.random.split(ekey, 3)
+            lperm = jax.random.permutation(k_lperm, e)
+            lpad = steps * bl - e
+            lperm = jnp.concatenate(
+                [lperm, jnp.full((lpad,), e, lperm.dtype)]
+            ).reshape(steps, bl)
+            nperm = jax.random.permutation(k_nperm, num_nodes)
+            npad = max(steps * bn - num_nodes, 0)
+            nperm = jnp.concatenate(
+                [nperm, jnp.full((npad,), num_nodes, nperm.dtype)]
+            )[: steps * bn].reshape(steps, bn)
 
-        (params, opt_state, tl, tn), _ = jax.lax.scan(
-            step,
-            (params, opt_state, jnp.float32(0.0), jnp.float32(0.0)),
-            (lperm, nperm, jnp.arange(steps)),
+            def step(carry, inp):
+                params, opt_state, tl, tn = carry
+                lidx, nidx, i = inp
+                emask = lidx < e
+                edges = pos_edges[jnp.clip(lidx, 0, e - 1)]
+                amask = nidx < num_nodes
+                anchors = jnp.clip(nidx, 0, num_nodes - 1).astype(jnp.int32)
+                rng = jax.random.fold_in(k_steps, i)
+                (loss, new_norm_state), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(params, rng, graph, x, t_h, tpred, edges, emask, anchors,
+                  amask, neg_keys)
+                grads = clip_by_group_norm(grads, 1.0)
+                params, opt_state = adam_update(tx, grads, opt_state, params)
+                if stateful:
+                    # Running batch-norm buffers: zero-grad under Adam;
+                    # replace them with the forward's momentum-updated values.
+                    params = dict(
+                        params,
+                        encoder=dict(params["encoder"], norm_state=new_norm_state),
+                    )
+                n = jnp.sum(emask.astype(jnp.float32))
+                return (params, opt_state, tl + loss * n, tn + n), None
+
+            (params, opt_state, tl, tn), _ = jax.lax.scan(
+                step,
+                (params, opt_state, jnp.float32(0.0), jnp.float32(0.0)),
+                (lperm, nperm, jnp.arange(steps)),
+            )
+            return (params, opt_state), tl / jnp.maximum(tn, 1.0)
+
+        keys = key[None] if epochs_per_call == 1 else key
+        (params, opt_state), losses = jax.lax.scan(
+            one_epoch, (params, opt_state), keys
         )
-        return params, opt_state, tl / jnp.maximum(tn, 1.0)
+        return params, opt_state, losses[0] if epochs_per_call == 1 else losses
 
     return epoch_fn, tx

@@ -217,3 +217,32 @@ def test_run_teacher_epochs_per_jit_equivalent(tmp_path):
     )
     assert log1["AUC"].results == log2["AUC"].results
     assert s1 == s2
+
+
+def test_run_student_epochs_per_jit_equivalent(tmp_path):
+    """Driver-level: student with epochs_per_jit=2 matches per-epoch runs."""
+    from llp_tpu.train.loop import run_student, run_teacher
+    from llp_tpu.utils.config import StudentConfig, TeacherConfig
+
+    common = dict(
+        datasets="synthetic:sbm:300:4:6.0:2", dataset_dir=str(tmp_path),
+        hidden_channels=32, results_dir=str(tmp_path / "r"),
+        spmm_impl="xla", log_steps=100,
+    )
+    run_teacher(
+        TeacherConfig(
+            runs=1, epochs=4, eval_steps=1, patience=50, batch_size=1024,
+            save_dir=str(tmp_path / "s"), **common,
+        ),
+        verbose=False,
+    )
+    scommon = dict(
+        runs=1, epochs=6, eval_steps=2, patience=50, link_batch_size=1024,
+        save_dir=str(tmp_path / "s"), **common,
+    )
+    s1, log1 = run_student(StudentConfig(**scommon), verbose=False)
+    s2, log2 = run_student(
+        StudentConfig(epochs_per_jit=2, **scommon), verbose=False
+    )
+    assert log1["AUC"].results == log2["AUC"].results
+    assert s1 == s2
