@@ -261,7 +261,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     from llp_tpu.train.state import load_run_state, save_run_state
     from llp_tpu.utils.profiling import ThroughputMeter
 
-    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
+    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"], compile_epochs=block)
     state_path = _teacher_ckpt_path(cfg) + "_trainstate"
     resume_run, resume_epoch, resume_state = 0, 0, None
     if cfg.resume:
@@ -500,7 +500,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
     from llp_tpu.train.state import load_run_state, save_run_state
     from llp_tpu.utils.profiling import ThroughputMeter
 
-    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
+    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"], compile_epochs=block)
     state_path = os.path.join(
         cfg.save_dir, f"{cfg.datasets}-student_{cfg.transductive}_trainstate"
     )

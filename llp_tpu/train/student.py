@@ -100,6 +100,11 @@ def make_student_epoch_fn(
     ``epoch_fn(params, opt_state, key, graph, x, t_h, teacher_pred_params,
     pos_edges, neg_keys) -> (params, opt_state, mean_loss)``.
 
+    ``epochs_per_call > 1`` fuses that many epochs into one device program
+    (see :func:`llp_tpu.train.teacher.make_teacher_epoch_fn`): ``key`` is
+    then a stacked (epochs_per_call, ...) per-epoch key array and the loss
+    comes back as a per-epoch vector.
+
     ``t_h``: frozen teacher node features ((N, Ht), reference ../saved-features
     contract); ``teacher_pred_params``: frozen teacher LinkPredictor pytree.
     """

@@ -20,6 +20,10 @@ class ThroughputMeter:
     """Accumulates wall-clock + work counters across epochs."""
 
     edges_per_epoch: int = 0
+    # Epochs whose wall-clock includes compilation (the driver sets this to
+    # its epochs_per_jit block size — a fused block spreads its compile time
+    # over the whole block, not just the first epoch).
+    compile_epochs: int = 1
     _t0: Optional[float] = None
     epoch_times: List[float] = field(default_factory=list)
 
@@ -38,8 +42,13 @@ class ThroughputMeter:
     def mean_epoch_s(self) -> float:
         if not self.epoch_times:
             return 0.0
-        # Skip the first (compile) epoch when there are enough samples.
-        ts = self.epoch_times[1:] if len(self.epoch_times) > 2 else self.epoch_times
+        # Skip the compile-bearing prefix when there are enough samples.
+        skip = max(self.compile_epochs, 1)
+        ts = (
+            self.epoch_times[skip:]
+            if len(self.epoch_times) > 2 * skip
+            else self.epoch_times
+        )
         return sum(ts) / len(ts)
 
     @property

@@ -1,0 +1,48 @@
+"""Collab-scale refresh run on the real TPU with hoist+fusion enabled.
+
+Teacher: 3-layer SAGE, 12 epochs, eval every 4, epochs_per_jit=4.
+Student: minibatch LLP, 6 epochs. Writes progress to argv[1].
+"""
+
+import sys
+import time
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/collab_refresh.log"
+log_f = open(OUT, "a", buffering=1)
+
+
+def log(msg):
+    log_f.write(f"[{time.strftime('%H:%M:%S')}] {msg}\n")
+
+
+log("importing...")
+import jax  # noqa: E402
+
+log(f"backend={jax.default_backend()}")
+sys.path.insert(0, "/root/repo")
+from llp_tpu.train.loop import run_student, run_teacher  # noqa: E402
+from llp_tpu.utils.config import StudentConfig, TeacherConfig  # noqa: E402
+
+tmp = "/tmp/llp-collab-refresh"
+t0 = time.time()
+tcfg = TeacherConfig(
+    datasets="collab", dataset_dir=tmp, encoder="sage", num_layers=3,
+    hidden_channels=256, runs=1, epochs=12, eval_steps=4, epochs_per_jit=4,
+    patience=100, batch_size=64 * 1024, save_dir=tmp + "/saved",
+    results_dir=tmp + "/results", log_steps=1,
+)
+stats, loggers = run_teacher(tcfg, verbose=False)
+log(f"teacher done in {time.time() - t0:.1f}s")
+log(f"teacher stats: { {k: v for k, v in stats.items()} }")
+
+t0 = time.time()
+scfg = StudentConfig(
+    datasets="collab", dataset_dir=tmp, minibatch=True, runs=1, epochs=6,
+    eval_steps=2, epochs_per_jit=2, patience=100, hidden_channels=256,
+    num_layers=3, link_batch_size=64 * 1024, save_dir=tmp + "/saved",
+    results_dir=tmp + "/results", log_steps=1,
+)
+sstats, _ = run_student(scfg, verbose=False)
+log(f"student done in {time.time() - t0:.1f}s")
+log(f"student stats: { {k: v for k, v in sstats.items()} }")
+log("DONE")
