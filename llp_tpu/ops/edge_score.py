@@ -51,14 +51,12 @@ def hadamard_mlp_score(
     """
     x = hi * hj
     dt = x.dtype  # keep intermediates in compute dtype (fp32 accumulation)
-    n = len(lins)
     for i, lin in enumerate(lins[:-1]):
         x = (jnp.dot(x, lin["w"], preferred_element_type=jnp.float32) + lin["b"]).astype(dt)
         x = jax.nn.relu(x)
         if rng is not None and dropout > 0.0:
             x = _dropout(x, dropout, jax.random.fold_in(rng, i))
     x = jnp.dot(x, lins[-1]["w"], preferred_element_type=jnp.float32) + lins[-1]["b"]
-    del n
     # fp32 probabilities even under bf16 compute: the final logit is a cheap
     # (B,) vector and loss/metric math downstream is fp32.
     return jax.nn.sigmoid(x.squeeze(-1).astype(jnp.float32))

@@ -68,3 +68,21 @@ def test_run_state_roundtrip(tmp_path):
     assert meta["run"] == 2 and meta["epoch"] == 7
     for a, b in zip(jax.tree_util.tree_leaves(opt), jax.tree_util.tree_leaves(o2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_teacher_resume_mid_block_with_fusion(tmp_path):
+    """Resume landing mid-fusion-block: the driver falls back to single-epoch
+    programs until realigned, then fuses again — history stays complete."""
+    run_teacher(
+        _cfg(tmp_path, checkpoint_every=1, epochs=3, eval_steps=1),
+        verbose=False,
+    )  # snapshot at epoch 3 (mid-block for block=2 alignment)
+    stats, loggers = run_teacher(
+        _cfg(
+            tmp_path, checkpoint_every=1, epochs=8, eval_steps=2,
+            epochs_per_jit=2, resume=True,
+        ),
+        verbose=False,
+    )
+    # 3 per-epoch evals from the first run + evals at 4, 6, 8 after resume.
+    assert len(loggers["Hits@20"].results[0]) == 6
