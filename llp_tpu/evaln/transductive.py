@@ -39,6 +39,10 @@ def make_transductive_eval_fn(
 
     ks = tuple(hits_ks)
 
+    import jax as _jax
+
+    fused_scoring = _jax.default_backend() in ("tpu", "axon")
+
     def score(params, h, edges):
         return apply_link_predictor(
             params["predictor"],
@@ -46,6 +50,7 @@ def make_transductive_eval_fn(
             jnp.take(h, edges[:, 1], axis=0),
             mode=predictor_mode,
             train=False,
+            fused=fused_scoring,  # Pallas SDDMM on supported shapes
         )
 
     @jax.jit

@@ -57,8 +57,12 @@ def apply_link_predictor(
     dropout: float = 0.0,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
-    """Score endpoint embedding pairs; output shape = broadcasted batch dims."""
+    """Score endpoint embedding pairs; output shape = broadcasted batch dims.
+
+    ``fused=True`` (inference only) opts supported shapes into the Pallas
+    SDDMM kernel (see :mod:`llp_tpu.ops.pallas.sddmm_kernel`)."""
     if mode == "inner":
         return hadamard_inner_score(hi, hj)
     if mode == "mlp":
@@ -68,5 +72,6 @@ def apply_link_predictor(
             hj,
             dropout=dropout if train else 0.0,
             rng=rng if train else None,
+            fused=fused and not train,
         )
     raise ValueError(f"unknown predictor mode {mode!r}")

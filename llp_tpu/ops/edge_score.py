@@ -43,12 +43,23 @@ def hadamard_mlp_score(
     *,
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """sigmoid(MLP(hi * hj)) — the 'mlp' predictor (models.py:141-146).
 
     ReLU + dropout between layers, none after the last; final output squeezed
     to drop the trailing singleton channel.
+
+    ``fused=True`` routes supported shapes (2-layer head, lane-aligned dims,
+    no dropout) to the Pallas SDDMM kernel on TPU — used by the evaluators;
+    training keeps the XLA expression (its backward is at the hardware
+    floor, see :mod:`llp_tpu.ops.pallas.sddmm_kernel`).
     """
+    if fused and (rng is None or dropout == 0.0):
+        from llp_tpu.ops.pallas.sddmm_kernel import fused_mlp_score, fused_supported
+
+        if fused_supported(lins, hi):
+            return fused_mlp_score(lins, hi, hj)
     x = hi * hj
     dt = x.dtype  # keep intermediates in compute dtype (fp32 accumulation)
     for i, lin in enumerate(lins[:-1]):
