@@ -5,6 +5,12 @@ from llp_tpu.parallel.sharded import (
     make_sharded_student_step,
 )
 from llp_tpu.parallel.eval import make_sharded_hits_auc
+from llp_tpu.parallel.halo import (
+    build_halo_partition,
+    make_halo_sage_forward,
+    make_halo_spmm,
+    pad_nodes,
+)
 from llp_tpu.parallel.multihost import initialize_multihost, measure_scaling
 
 __all__ = [
@@ -14,6 +20,10 @@ __all__ = [
     "make_sharded_teacher_step",
     "make_sharded_student_step",
     "make_sharded_hits_auc",
+    "build_halo_partition",
+    "make_halo_spmm",
+    "make_halo_sage_forward",
+    "pad_nodes",
     "initialize_multihost",
     "measure_scaling",
 ]

@@ -1,0 +1,222 @@
+"""Feature-sharded SpMM with halo (boundary) exchange over ICI.
+
+The second multi-chip execution model (SURVEY.md §2.3 "Boundary exchange"):
+instead of replicating node features and psum-ing partial aggregates
+(:mod:`llp_tpu.parallel.sharded` — right for feature matrices that fit every
+chip), NODE FEATURES ARE SHARDED BY OWNER:
+
+* nodes are 1-D range-partitioned: device ``p`` owns rows
+  ``[p·n_per, (p+1)·n_per)`` of the padded feature matrix;
+* edges live with their RECEIVER's owner (the canonical receiver-sorted COO
+  makes that a contiguous slice per device);
+* each device's edges are split into LOCAL-sender and REMOTE-sender classes
+  (both still receiver-sorted). The remote rows each device needs — its halo
+  — are statically known per (owner, requester) pair, so the exchange is one
+  ``jax.lax.all_to_all`` of padded index-gathered buffers over the mesh
+  axis. XLA overlaps it with the local-edge aggregation, which has no
+  dependence on the exchange.
+* aggregation is a sorted per-device segment-sum over
+  ``[local rows ; received halo rows]``; the output stays node-sharded, so
+  per-row ops (the encoder linears, ReLU, dropout) stay embarrassingly
+  row-parallel — a fully feature-sharded GNN layer.
+
+The whole forward is pure JAX inside ``shard_map``; autodiff produces the
+reverse exchange (transpose of all_to_all) and owner scatter automatically.
+
+Replaces what a DGL/PyG-distributed deployment gets from its C++
+KVStore/sampler halo machinery (the reference itself is single-device; this
+subsystem comes from the north-star spec, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+class HaloPartition(NamedTuple):
+    """Static, host-built partition + exchange plan (leading axis = shard)."""
+
+    send_idx: jnp.ndarray      # (P, P, M) int32 — on device q, rows (q-local
+    #                            coords) that requester p needs; [q, p, :]
+    loc_send: jnp.ndarray      # (P, EL) int32 — local-coord senders
+    loc_recv: jnp.ndarray      # (P, EL) int32 — local-coord receivers (pad=n_per)
+    rem_send: jnp.ndarray      # (P, ER) int32 — halo-coord senders (see x_ext)
+    rem_recv: jnp.ndarray      # (P, ER) int32 — local-coord receivers (pad=n_per)
+    n_per: int                 # rows owned per device
+    m: int                     # halo rows exchanged per (owner, requester)
+    num_shards: int
+    num_nodes: int
+
+
+def build_halo_partition(graph, num_shards: int) -> HaloPartition:
+    """Range-partition a graph for the halo-exchange SpMM (call outside jit)."""
+    n = graph.num_nodes
+    p_ = num_shards
+    n_per = -(-n // p_)
+    e = graph.num_edges
+    send = np.asarray(jax.device_get(graph.senders))[:e].astype(np.int64)
+    recv = np.asarray(jax.device_get(graph.receivers))[:e].astype(np.int64)
+
+    send_lists = [[None] * p_ for _ in range(p_)]  # [owner q][requester p]
+    loc, rem = [], []
+    for p in range(p_):
+        mask_p = (recv // n_per) == p
+        es, er = send[mask_p], recv[mask_p]  # still receiver-sorted
+        is_local = (es // n_per) == p
+        loc.append((es[is_local] - p * n_per, er[is_local] - p * n_per))
+
+        es_r, er_r = es[~is_local], er[~is_local]
+        owners = es_r // n_per
+        # Halo request lists per owner + remap of remote senders into the
+        # halo block of x_ext (positions assigned after M is known).
+        req = {}
+        for q in range(p_):
+            if q == p:
+                continue
+            rows = np.unique(es_r[owners == q]) - q * n_per
+            req[q] = rows
+            send_lists[q][p] = rows
+        rem.append((es_r, er_r - p * n_per, req))
+
+    m = max(
+        (len(r) for row in send_lists for r in row if r is not None), default=0
+    )
+    m = max(m, 1)
+
+    send_idx = np.zeros((p_, p_, m), np.int32)
+    pos_of = [dict() for _ in range(p_)]  # requester p: global row -> halo pos
+    for q in range(p_):
+        for p in range(p_):
+            rows = send_lists[q][p]
+            if rows is None or len(rows) == 0:
+                continue
+            send_idx[q, p, : len(rows)] = rows.astype(np.int32)
+            for j, r in enumerate(rows):
+                pos_of[p][q * n_per + r] = q * m + j
+
+    el = max((len(a) for a, _ in loc), default=0)
+    el = max(el, 1)
+    er_max = max((len(a) for a, _, _ in rem), default=0)
+    er_max = max(er_max, 1)
+
+    loc_send = np.zeros((p_, el), np.int32)
+    loc_recv = np.full((p_, el), n_per, np.int32)
+    rem_send = np.zeros((p_, er_max), np.int32)
+    rem_recv = np.full((p_, er_max), n_per, np.int32)
+    for p in range(p_):
+        ls, lr = loc[p]
+        loc_send[p, : len(ls)] = ls.astype(np.int32)
+        loc_recv[p, : len(lr)] = lr.astype(np.int32)
+        es_r, er_r, _req = rem[p]
+        table = pos_of[p]
+        rem_send[p, : len(es_r)] = np.asarray(
+            [n_per + table[int(g)] for g in es_r], np.int32
+        )
+        rem_recv[p, : len(er_r)] = er_r.astype(np.int32)
+
+    return HaloPartition(
+        jnp.asarray(send_idx),
+        jnp.asarray(loc_send),
+        jnp.asarray(loc_recv),
+        jnp.asarray(rem_send),
+        jnp.asarray(rem_recv),
+        n_per,
+        m,
+        p_,
+        n,
+    )
+
+
+def pad_nodes(arr: np.ndarray | jnp.ndarray, part: HaloPartition):
+    """Pad a (N, ...) node array to (P·n_per, ...) for sharding on axis 0."""
+    total = part.num_shards * part.n_per
+    pad = total - arr.shape[0]
+    if pad == 0:
+        return jnp.asarray(arr)
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(jnp.asarray(arr), widths)
+
+
+def make_halo_spmm(mesh: Mesh, part: HaloPartition, axis: str = "data"):
+    """Returns ``spmm_fn(x_sharded, in_degree_sharded, reduce) -> out_sharded``.
+
+    ``x_sharded``: (P·n_per, D) node features sharded on rows; output is
+    sharded the same way. Differentiable (autodiff reverses the exchange).
+    """
+    n_per, m, p_ = part.n_per, part.m, part.num_shards
+
+    def local_fn(x, in_deg, send_idx, ls, lr, rs, rr, reduce):
+        # squeeze the leading shard dim of the plan slices
+        send_idx, ls, lr, rs, rr = (
+            send_idx[0], ls[0], lr[0], rs[0], rr[0],
+        )
+        acc = jnp.float32
+        # Start the halo exchange: gather requested rows, all-to-all them.
+        buf = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(p_, m, -1)
+        halo = jax.lax.all_to_all(buf, axis, 0, 0, tiled=True)  # (P·m? , ...)
+        halo = halo.reshape(p_ * m, -1)
+        # Local-sender aggregation overlaps with the exchange (no dependence).
+        msgs_l = jnp.take(x, ls, axis=0).astype(acc)
+        out = jax.ops.segment_sum(
+            msgs_l, lr, num_segments=n_per, indices_are_sorted=True
+        )
+        # Remote-sender aggregation once the halo lands.
+        x_ext = jnp.concatenate([x.astype(acc), halo.astype(acc)], axis=0)
+        msgs_r = jnp.take(x_ext, rs, axis=0)
+        out = out + jax.ops.segment_sum(
+            msgs_r, rr, num_segments=n_per, indices_are_sorted=True
+        )
+        if reduce == "mean":
+            out = out / jnp.maximum(in_deg.astype(acc), 1.0)[:, None]
+        return out.astype(x.dtype)
+
+    def spmm_fn(x_sharded, in_degree_sharded, reduce="mean"):
+        from functools import partial
+
+        return shard_map(
+            partial(local_fn, reduce=reduce),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(
+            x_sharded, in_degree_sharded, part.send_idx, part.loc_send,
+            part.loc_recv, part.rem_send, part.rem_recv,
+        )
+
+    return spmm_fn
+
+
+def make_halo_sage_forward(mesh: Mesh, part: HaloPartition, axis: str = "data"):
+    """Fully feature-sharded SAGE forward: every tensor stays node-sharded.
+
+    ``forward(params, x_sharded, in_degree_sharded, conv) -> h_sharded`` —
+    halo-exchange aggregation + row-parallel linears/ReLU per layer.
+    """
+    spmm_fn = make_halo_spmm(mesh, part, axis)
+
+    def forward(params, x_sharded, in_degree_sharded, conv: str = "sage"):
+        from llp_tpu.models.init import apply_linear
+
+        h = x_sharded
+        convs = params["convs"]
+        for i, cp in enumerate(convs):
+            if conv == "sage_updated":
+                out = apply_linear(cp["lin_l"], h)
+                out = spmm_fn(out, in_degree_sharded, "mean")
+                out = out + apply_linear(cp["lin_r"], h)
+            else:
+                agg = spmm_fn(h, in_degree_sharded, "mean")
+                out = apply_linear(cp["lin_l"], agg) + apply_linear(cp["lin_r"], h)
+            if i != len(convs) - 1:
+                out = jax.nn.relu(out)
+            h = out
+        return h
+
+    return forward

@@ -1,6 +1,8 @@
 """Multi-device (8 virtual CPU devices) tests for the sharded training path —
 the CPU-mesh "fake backend" gate (SURVEY.md §4)."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -207,3 +209,59 @@ def test_sharded_teacher_step_with_segsum_layouts(setup):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     np.testing.assert_allclose(losses, losses_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_spmm_matches_single_device(setup):
+    from llp_tpu.parallel.halo import (
+        build_halo_partition,
+        make_halo_spmm,
+        pad_nodes,
+    )
+
+    g, x = setup
+    mesh = make_mesh(8)
+    part = build_halo_partition(g, 8)
+    spmm_fn = make_halo_spmm(mesh, part)
+    xs = pad_nodes(x, part)
+    degs = pad_nodes(np.asarray(jax.device_get(g.in_degree)), part)
+
+    @partial(jax.jit, static_argnames="reduce")
+    def run(xs_, reduce):
+        return spmm_fn(xs_, degs, reduce)
+
+    for reduce in ("sum", "mean"):
+        ref = np.asarray(spmm(g, x, reduce))
+        out = np.asarray(run(xs, reduce))[: g.num_nodes]
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    # Gradients reverse the halo exchange (transpose all_to_all + scatter).
+    def f_sh(xs_):
+        return jnp.sum(spmm_fn(xs_, degs, "mean") ** 2)
+
+    def f_ref(x_):
+        return jnp.sum(spmm(g, x_, "mean") ** 2)
+
+    gsh = np.asarray(jax.jit(jax.grad(f_sh))(xs))[: g.num_nodes]
+    gref = np.asarray(jax.grad(f_ref)(x))
+    np.testing.assert_allclose(gsh, gref, atol=1e-3)
+
+
+def test_halo_sage_forward_matches_single_device(setup):
+    from llp_tpu.models.sage import apply_sage, init_sage
+    from llp_tpu.parallel.halo import (
+        build_halo_partition,
+        make_halo_sage_forward,
+        pad_nodes,
+    )
+
+    g, x = setup
+    mesh = make_mesh(8)
+    part = build_halo_partition(g, 8)
+    fwd = make_halo_sage_forward(mesh, part)
+    params = init_sage(jax.random.PRNGKey(4), int(x.shape[1]), 16, 16, 2)
+    xs = pad_nodes(x, part)
+    degs = pad_nodes(np.asarray(jax.device_get(g.in_degree)), part)
+    for conv in ("sage", "sage_updated"):
+        ref = np.asarray(apply_sage(params, g, x, conv=conv))
+        out = np.asarray(jax.jit(fwd, static_argnames="conv")(params, xs, degs, conv=conv))
+        np.testing.assert_allclose(out[: g.num_nodes], ref, rtol=1e-4, atol=1e-4)
