@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--old_old_extra_ratio", type=float, default=0.1)
     args = p.parse_args(argv)
 
-    from llp_tpu.data.io import save_production_split_npz
+    from llp_tpu.data.io import dataset_fingerprint, save_production_split_npz
     from llp_tpu.data.registry import get_dataset
     from llp_tpu.data.splits import do_production_edge_split
     from llp_tpu.utils.config import SplitConfig
@@ -43,7 +43,10 @@ def main(argv=None):
         seed=args.seed,
     )
     out = os.path.join(args.dataset_dir, f"{args.datasets}_production.npz")
-    save_production_split_npz(out, ps)
+    # Fingerprint so the trainers accept (and never silently replace) it.
+    save_production_split_npz(
+        out, ps, fingerprint=dataset_fingerprint(ds.x, ds.edge_index)
+    )
     print("Datasets Information:")
     print(f"Name:\t{args.datasets}")
     print(f"#Old Nodes:\t{ps.old_nodes.size}")

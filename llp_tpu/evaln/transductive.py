@@ -39,9 +39,9 @@ def make_transductive_eval_fn(
 
     ks = tuple(hits_ks)
 
-    import jax as _jax
+    from llp_tpu.ops.pallas.sddmm_kernel import fused_scoring_default
 
-    fused_scoring = _jax.default_backend() in ("tpu", "axon")
+    fused_scoring = fused_scoring_default()
 
     def score(params, h, edges):
         return apply_link_predictor(

@@ -78,6 +78,12 @@ def _sddmm_call(hi, hj, w1, b1, w2, b2, *, interpret):
     )(hi, hj, w1, b1, w2, b2)
 
 
+def fused_scoring_default() -> bool:
+    """Whether evaluators should opt into the fused scorer (compiled-kernel
+    backends only; CPU interpret mode would be slower than XLA)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def fused_supported(lins, hi: jnp.ndarray) -> bool:
     if len(lins) != 2 or "b" not in lins[0] or "b" not in lins[1]:
         return False
@@ -105,7 +111,7 @@ def _fused(hi, hj, w1, b1, w2, b2):
         pad = ((0, bp - b), (0, 0))
         hi = jnp.pad(hi, pad)
         hj = jnp.pad(hj, pad)
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    interpret = not fused_scoring_default()
     out = _sddmm_call(
         hi, hj, w1, b1.reshape(1, -1), w2.reshape(1, -1), b2.reshape(1, 1),
         interpret=interpret,

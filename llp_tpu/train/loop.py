@@ -28,6 +28,7 @@ import numpy as np
 
 from llp_tpu.core.graph import build_graph
 from llp_tpu.data.io import (
+    dataset_fingerprint,
     load_production_split_npz,
     load_split_npz,
     save_production_split_npz,
@@ -82,11 +83,11 @@ def prepare_transductive(cfg):
     """Dataset + cached split + padded graph + device arrays."""
     ds = get_dataset(cfg.dataset_dir, cfg.datasets)
     cache = os.path.join(cfg.dataset_dir, f"{cfg.datasets}_split.npz")
-    if os.path.exists(cache):
-        split = load_split_npz(cache)
-    else:
+    fp = dataset_fingerprint(ds.x, ds.edge_index)
+    split = load_split_npz(cache, expect_fingerprint=fp) if os.path.exists(cache) else None
+    if split is None:  # no cache, or cache from a DIFFERENT graph (stale)
         split = do_edge_split(ds.x, ds.edge_index, seed=234)
-        save_split_npz(cache, split)
+        save_split_npz(cache, split, fingerprint=fp)
 
     train_edges = split["train"]["edge"].astype(np.int32)  # (E, 2), both dirs
     graph = build_graph(train_edges.T, ds.num_nodes)
@@ -132,9 +133,13 @@ def prepare_transductive(cfg):
 def prepare_production(cfg):
     ds = get_dataset(cfg.dataset_dir, cfg.datasets)
     cache = os.path.join(cfg.dataset_dir, f"{cfg.datasets}_production.npz")
-    if os.path.exists(cache):
-        ps = load_production_split_npz(cache)
-    else:
+    fp = dataset_fingerprint(ds.x, ds.edge_index)
+    ps = (
+        load_production_split_npz(cache, expect_fingerprint=fp)
+        if os.path.exists(cache)
+        else None
+    )
+    if ps is None:  # no cache, or cache from a DIFFERENT graph (stale)
         sc = SplitConfig.for_dataset(cfg.datasets)
         ps = do_production_edge_split(
             ds.x,
@@ -145,7 +150,7 @@ def prepare_production(cfg):
             old_old_extra_ratio=sc.old_old_extra_ratio,
             seed=sc.seed,
         )
-        save_production_split_npz(cache, ps)
+        save_production_split_npz(cache, ps, fingerprint=fp)
 
     n_old = ps.training_x.shape[0]
     n_all = ps.inference_x.shape[0]
@@ -183,6 +188,36 @@ def prepare_production(cfg):
         test_edges=test_edges,
         num_pos=int(pos_edges.shape[0]),
     )
+
+
+def _advance_epochs(epoch, epochs, block, block_fn, epoch_fn, key, params,
+                    opt_state, args, compiled_fns):
+    """One driver iteration: a fused block when aligned, else a single epoch.
+
+    Returns ``(params, opt_state, loss, ran, epoch_end, compiled)`` where
+    ``epoch_end`` is the last epoch covered and ``compiled`` flags a first
+    call of the executed program (its wall-clock includes XLA compilation —
+    the meter excludes such windows from steady-state throughput).
+    """
+    use_block = (
+        block_fn is not None
+        and (epoch - 1) % block == 0
+        and epoch + block - 1 <= epochs
+    )
+    fn = block_fn if use_block else epoch_fn
+    compiled = fn not in compiled_fns
+    compiled_fns.add(fn)
+    if use_block:
+        # Per-epoch keys identical to the unfused stream.
+        bkeys = jnp.stack(
+            [jax.random.fold_in(key, e) for e in range(epoch, epoch + block)]
+        )
+        params, opt_state, losses = block_fn(params, opt_state, bkeys, *args)
+        return params, opt_state, losses[-1], block, epoch + block - 1, compiled
+    params, opt_state, loss = epoch_fn(
+        params, opt_state, jax.random.fold_in(key, epoch), *args
+    )
+    return params, opt_state, loss, 1, epoch, compiled
 
 
 def _teacher_ckpt_path(cfg) -> str:
@@ -261,7 +296,8 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     from llp_tpu.train.state import load_run_state, save_run_state
     from llp_tpu.utils.profiling import ThroughputMeter
 
-    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"], compile_epochs=block)
+    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
+    compiled_fns: set = set()
     state_path = _teacher_ckpt_path(cfg) + "_trainstate"
     resume_run, resume_epoch, resume_state = 0, 0, None
     if cfg.resume:
@@ -306,31 +342,13 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         epoch = epoch_start
         while epoch <= epochs:
             meter.start_epoch()
-            if (
-                block_fn is not None
-                and (epoch - 1) % block == 0
-                and epoch + block - 1 <= epochs
-            ):
-                # Fused multi-epoch program: per-epoch keys identical to the
-                # unfused stream (fold_in(key, e) for each epoch in the block).
-                bkeys = jnp.stack(
-                    [jax.random.fold_in(key, e) for e in range(epoch, epoch + block)]
-                )
-                params, opt_state, losses = block_fn(
-                    params, opt_state, bkeys,
-                    data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
-                )
-                loss = losses[-1]
-                ran = block
-                epoch = epoch + block - 1
-            else:
-                params, opt_state, loss = epoch_fn(
-                    params, opt_state, jax.random.fold_in(key, epoch),
-                    data["graph"], data["x"], data["pos_edges"], data["neg_keys"],
-                )
-                ran = 1
+            params, opt_state, loss, ran, epoch, compiled = _advance_epochs(
+                epoch, epochs, block, block_fn, epoch_fn, key, params, opt_state,
+                (data["graph"], data["x"], data["pos_edges"], data["neg_keys"]),
+                compiled_fns,
+            )
             if epoch % max(cfg.eval_steps, 1) != 0:
-                meter.end_epoch(ran)
+                meter.end_epoch(ran, exclude=compiled)
                 if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
                     save_run_state(
                         state_path, params=params, opt_state=opt_state, run=run,
@@ -364,7 +382,9 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                         k: (results[k][0], results_full[k][1]) for k in results
                     }
             results = _fetch_results(results)
-            meter.end_epoch(ran)
+            exclude = compiled or eval_fn not in compiled_fns
+            compiled_fns.add(eval_fn)
+            meter.end_epoch(ran, exclude=exclude)
             val = results[cfg.metric][0]
 
             if val > val_max:
@@ -500,7 +520,8 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
     from llp_tpu.train.state import load_run_state, save_run_state
     from llp_tpu.utils.profiling import ThroughputMeter
 
-    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"], compile_epochs=block)
+    meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
+    compiled_fns: set = set()
     state_path = os.path.join(
         cfg.save_dir, f"{cfg.datasets}-student_{cfg.transductive}_trainstate"
     )
@@ -545,31 +566,14 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         epoch = epoch_start
         while epoch <= epochs:
             meter.start_epoch()
-            if (
-                block_fn is not None
-                and (epoch - 1) % block == 0
-                and epoch + block - 1 <= epochs
-            ):
-                bkeys = jnp.stack(
-                    [jax.random.fold_in(key, e) for e in range(epoch, epoch + block)]
-                )
-                params, opt_state, losses = block_fn(
-                    params, opt_state, bkeys,
-                    data["graph"], data["x"], t_h, teacher_pred,
-                    data["pos_edges"], data["neg_keys"],
-                )
-                loss = losses[-1]
-                ran = block
-                epoch = epoch + block - 1
-            else:
-                params, opt_state, loss = epoch_fn(
-                    params, opt_state, jax.random.fold_in(key, epoch),
-                    data["graph"], data["x"], t_h, teacher_pred,
-                    data["pos_edges"], data["neg_keys"],
-                )
-                ran = 1
+            params, opt_state, loss, ran, epoch, compiled = _advance_epochs(
+                epoch, epochs, block, block_fn, epoch_fn, key, params, opt_state,
+                (data["graph"], data["x"], t_h, teacher_pred,
+                 data["pos_edges"], data["neg_keys"]),
+                compiled_fns,
+            )
             if epoch % max(cfg.eval_steps, 1) != 0:
-                meter.end_epoch(ran)
+                meter.end_epoch(ran, exclude=compiled)
                 if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
                     save_run_state(
                         state_path, params=params, opt_state=opt_state, run=run,
@@ -592,7 +596,9 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                     ee["valid_pos"], ee["valid_neg"], ee["test_pos"], ee["test_neg"],
                 )
             results = _fetch_results(results)
-            meter.end_epoch(ran)
+            exclude = compiled or eval_fn not in compiled_fns
+            compiled_fns.add(eval_fn)
+            meter.end_epoch(ran, exclude=exclude)
             val = results[cfg.metric][0]
             if val >= best_val:
                 best_val, cnt_wait = val, 0

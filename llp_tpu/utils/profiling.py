@@ -20,35 +20,31 @@ class ThroughputMeter:
     """Accumulates wall-clock + work counters across epochs."""
 
     edges_per_epoch: int = 0
-    # Epochs whose wall-clock includes compilation (the driver sets this to
-    # its epochs_per_jit block size — a fused block spreads its compile time
-    # over the whole block, not just the first epoch).
-    compile_epochs: int = 1
     _t0: Optional[float] = None
     epoch_times: List[float] = field(default_factory=list)
+    # Windows whose wall-clock included XLA compilation (first call of an
+    # epoch/block/eval program) — counted in totals, excluded from
+    # steady-state throughput. The driver flags them explicitly.
+    excluded_times: List[float] = field(default_factory=list)
 
     def start_epoch(self) -> None:
         self._t0 = time.perf_counter()
 
-    def end_epoch(self, n_epochs: int = 1) -> None:
+    def end_epoch(self, n_epochs: int = 1, *, exclude: bool = False) -> None:
         """Close the timing window; ``n_epochs > 1`` when a fused multi-epoch
-        program ran (records the per-epoch average n times)."""
+        program ran (records the per-epoch average n times).  ``exclude``
+        keeps the window out of the steady-state mean (compile-bearing)."""
         if self._t0 is not None:
-            dt = (time.perf_counter() - self._t0) / max(n_epochs, 1)
-            self.epoch_times.extend([dt] * max(n_epochs, 1))
+            n = max(n_epochs, 1)
+            dt = (time.perf_counter() - self._t0) / n
+            (self.excluded_times if exclude else self.epoch_times).extend([dt] * n)
             self._t0 = None
 
     @property
     def mean_epoch_s(self) -> float:
-        if not self.epoch_times:
+        ts = self.epoch_times or self.excluded_times
+        if not ts:
             return 0.0
-        # Skip the compile-bearing prefix when there are enough samples.
-        skip = max(self.compile_epochs, 1)
-        ts = (
-            self.epoch_times[skip:]
-            if len(self.epoch_times) > 2 * skip
-            else self.epoch_times
-        )
         return sum(ts) / len(ts)
 
     @property
@@ -58,7 +54,7 @@ class ThroughputMeter:
 
     def summary(self) -> dict:
         return {
-            "epochs": len(self.epoch_times),
+            "epochs": len(self.epoch_times) + len(self.excluded_times),
             "mean_epoch_s": round(self.mean_epoch_s, 4),
             "edges_per_sec": round(self.edges_per_sec, 1),
         }

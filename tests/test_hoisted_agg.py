@@ -77,30 +77,70 @@ def test_mlp_rejects_x_agg():
 def test_teacher_epoch_unchanged_by_hoist(rng):
     """Gradient-level check: the hoisted epoch reproduces the direct math.
 
-    Conv='sage' hoisting is a pure reuse of the identical tensor, so one
-    epoch's updated params must match a manual direct-path epoch bit-for-bit
-    modulo fp associativity (tight tolerance).
+    A hand-rolled epoch that recomputes the layer-1 aggregation every batch
+    (the reference's order of operations) must match the production epoch_fn
+    — same RNG consumption, same batch schedule, no x_agg.
     """
-    from llp_tpu.sample.negative import edge_hash_keys
+    from llp_tpu.models.encoder import apply_encoder
+    from llp_tpu.models.predictor import apply_link_predictor
+    from llp_tpu.ops.losses import bce_loss
+    from llp_tpu.sample.negative import edge_hash_keys, sample_negative_edges
+    from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
     from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
 
     ei, comm = sbm_graph(150, 3, 5.0, seed=3)
     x = jnp.asarray(community_features(comm, 16, kind="gauss", seed=3))
     g = build_graph(ei, 150)
+    e = int(ei.shape[1])
+    b = 128
+    steps = -(-e // b)
     pos = jnp.asarray(ei.T.astype(np.int32))
     keys = jnp.asarray(edge_hash_keys(ei, 150))
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder="sage", predictor_mode="mlp", dropout=0.0,
-        num_nodes=150, num_pos_edges=int(pos.shape[0]),
-        link_batch_size=128, neg_mode="dense", lr=0.01,
+        num_nodes=150, num_pos_edges=e,
+        link_batch_size=b, neg_mode="dense", lr=0.01,
     )
     params = init_teacher_params(
         jax.random.PRNGKey(0), encoder="sage", in_channels=16,
         hidden_channels=16, num_layers=2, predictor_mode="mlp",
     )
-    p1, _, l1 = epoch_fn(
-        params, tx.init(params), jax.random.PRNGKey(7), g, x, pos, keys
-    )
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+    key = jax.random.PRNGKey(7)
+    p1, _, l1 = epoch_fn(copy(params), tx.init(copy(params)), key, g, x, pos, keys)
+
+    # Hand-rolled direct epoch: identical key stream/batching, NO hoist.
+    def direct_batch_loss(p, rng, edges, mask):
+        k_drop, k_pred, k_neg = jax.random.split(rng, 3)
+        h = apply_encoder("sage", p["encoder"], g, x, dropout=0.0, train=True,
+                          rng=k_drop, conv="sage")  # recomputes spmm(x)
+        neg = sample_negative_edges(k_neg, keys, b, 150)
+        src = jnp.concatenate([edges[:, 0], neg[0]])
+        dst = jnp.concatenate([edges[:, 1], neg[1]])
+        out = apply_link_predictor(
+            p["predictor"], jnp.take(h, src, axis=0), jnp.take(h, dst, axis=0),
+            mode="mlp", dropout=0.0, train=True, rng=k_pred,
+        )
+        labels = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
+        return bce_loss(out, labels, jnp.concatenate([mask, mask]))
+
+    tx2, _ = adam_init({}, 0.01)
+    p2 = copy(params)
+    s2 = tx2.init(p2)
+    k_perm, k_steps = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, e)
+    perm = jnp.concatenate([perm, jnp.full((steps * b - e,), e, perm.dtype)])
+    perm = perm.reshape(steps, b)
+    for i in range(steps):
+        idx = perm[i]
+        mask = idx < e
+        edges = pos[jnp.clip(idx, 0, e - 1)]
+        _, grads = jax.value_and_grad(direct_batch_loss)(
+            p2, jax.random.fold_in(k_steps, i), edges, mask
+        )
+        grads = clip_by_group_norm(grads, 1.0)
+        p2, s2 = adam_update(tx2, grads, s2, p2)
+
     assert np.isfinite(float(l1))
-    for leaf in jax.tree_util.tree_leaves(p1):
-        assert np.all(np.isfinite(np.asarray(leaf)))
+    for a, c in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)

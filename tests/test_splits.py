@@ -151,3 +151,25 @@ def test_registry_synthetic_standins():
     k = _keyset(ds.edge_index, ds.num_nodes)
     kr = _keyset(ds.edge_index[::-1], ds.num_nodes)
     assert k == kr
+
+
+def test_split_cache_fingerprint_staleness(tmp_path, rng):
+    """A cached split from one graph must not be served for another."""
+    from llp_tpu.data.io import dataset_fingerprint
+
+    x1 = rng.normal(size=(50, 8)).astype(np.float32)
+    ei1 = np.stack([np.arange(40, dtype=np.int64), (np.arange(40) + 1) % 40])
+    x2 = rng.normal(size=(50, 8)).astype(np.float32)  # same shapes, diff data
+
+    split = do_edge_split(x1, ei1, seed=234)
+    p = str(tmp_path / "s.npz")
+    fp1 = dataset_fingerprint(x1, ei1)
+    save_split_npz(p, split, fingerprint=fp1)
+
+    assert load_split_npz(p, expect_fingerprint=fp1) is not None
+    fp2 = dataset_fingerprint(x2, ei1)
+    assert fp2 != fp1
+    assert load_split_npz(p, expect_fingerprint=fp2) is None  # stale -> regen
+    # legacy cache without a fingerprint is treated as stale too
+    save_split_npz(p, split)
+    assert load_split_npz(p, expect_fingerprint=fp1) is None
