@@ -1,0 +1,74 @@
+"""End-to-end CLI invocations (main(argv)) — guards the full flag plumbing
+(incl. the norm_type / compute_dtype / epochs_per_jit knobs) and the
+stale-split-cache regeneration path."""
+
+import os
+
+import numpy as np
+
+from llp_tpu.cli.train_student import main as student_main
+from llp_tpu.cli.train_teacher import main as teacher_main
+
+
+def test_cli_teacher_then_student_e2e(tmp_path):
+    common = [
+        "--datasets=synthetic:sbm:200:4:6.0:7",
+        f"--dataset_dir={tmp_path}",
+        f"--save_dir={tmp_path}/saved",
+        f"--results_dir={tmp_path}/results",
+        "--hidden_channels=32",
+        "--epochs=4",
+        "--eval_steps=2",
+        "--epochs_per_jit=2",
+        "--patience=50",
+        "--device=cpu",
+        "--spmm_impl=xla",
+        "--log_steps=100",
+        "--norm_type=layer",
+        "--compute_dtype=bfloat16",
+    ]
+    teacher_main(common + ["--runs=1", "--batch_size=1024"])
+    assert os.path.exists(
+        tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_supervised_transductive.txt"
+    )
+    student_main(common + ["--runs=1", "--link_batch_size=1024"])
+    assert os.path.exists(
+        tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_KD_transductive.txt"
+    )
+
+
+def test_stale_split_cache_regenerates(tmp_path):
+    """The review's failure scenario: a cached split from the stand-in must
+    not survive a real {name}.npz export landing in the dataset dir."""
+    import jax
+
+    from llp_tpu.train.loop import prepare_transductive
+    from llp_tpu.utils.config import TeacherConfig
+
+    cfg = TeacherConfig(
+        datasets="cora", dataset_dir=str(tmp_path), results_dir="", save_dir=""
+    )
+    data1 = prepare_transductive(cfg)  # stand-in + cache written
+    cache = tmp_path / "cora_split.npz"
+    assert cache.exists()
+    e1 = np.asarray(jax.device_get(data1["pos_edges"]))
+
+    # A "real" cora export appears: different graph, same name.
+    rng = np.random.default_rng(0)
+    n = 2708
+    ei = np.stack([rng.integers(0, n, 4000), rng.integers(0, n, 4000)])
+    both = np.concatenate([ei, ei[::-1]], axis=1)
+    np.savez(
+        tmp_path / "cora.npz",
+        x=rng.normal(size=(n, 100)).astype(np.float32),
+        edge_index=both.astype(np.int64),
+    )
+    data2 = prepare_transductive(cfg)
+    e2 = np.asarray(jax.device_get(data2["pos_edges"]))
+    # The split was regenerated for the new graph, not served stale.
+    assert e1.shape != e2.shape or not np.array_equal(e1, e2)
+    # And the refreshed cache now matches the new dataset (idempotent reuse).
+    data3 = prepare_transductive(cfg)
+    np.testing.assert_array_equal(
+        e2, np.asarray(jax.device_get(data3["pos_edges"]))
+    )
