@@ -125,3 +125,32 @@ def test_config_yaml_roundtrip(tmp_path):
     c = StudentConfig.from_yaml(str(p), runs=3)
     assert c.datasets == "citeseer" and c.lr == 0.01
     assert c.llp_r == 1000 and c.hops == 1 and c.runs == 3
+
+
+def test_profiler_trace_context(tmp_path):
+    import jax.numpy as jnp
+
+    from llp_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        _ = float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+    import os
+
+    assert os.path.isdir(d)
+    with trace(None):  # no-op path
+        pass
+
+
+def test_meter_excludes_compile_windows():
+    from llp_tpu.utils.profiling import ThroughputMeter
+
+    m = ThroughputMeter(edges_per_epoch=100)
+    m.start_epoch()
+    m.end_epoch(2, exclude=True)  # compile-bearing block
+    m.start_epoch()
+    m.end_epoch(2)
+    assert m.summary()["epochs"] == 4
+    assert len(m.epoch_times) == 2 and len(m.excluded_times) == 2
+    # steady-state mean comes from the non-excluded windows only
+    assert m.mean_epoch_s == sum(m.epoch_times) / 2
