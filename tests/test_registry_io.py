@@ -81,3 +81,34 @@ def test_memory_stats_shape():
 
     mm = get_device_memory_map()
     assert isinstance(mm, dict) and len(mm) >= 1
+
+
+def test_k_hop_subgraph():
+    from llp_tpu.data.subsample import k_hop_subgraph
+
+    # path graph 0-1-2-3-4-5 (both directions)
+    ei = np.array([[0, 1, 1, 2, 2, 3, 3, 4, 4, 5],
+                   [1, 0, 2, 1, 3, 2, 4, 3, 5, 4]])
+    nodes, sub = k_hop_subgraph(ei, 6, np.array([0]), num_hops=2)
+    assert list(nodes) == [0, 1, 2]
+    # induced edges: 0-1, 1-2 both directions, relabeled
+    pairs = set(map(tuple, sub.T.tolist()))
+    assert pairs == {(0, 1), (1, 0), (1, 2), (2, 1)}
+    # 0 hops: seeds only, no edges
+    nodes0, sub0 = k_hop_subgraph(ei, 6, np.array([3]), num_hops=0)
+    assert list(nodes0) == [3] and sub0.shape[1] == 0
+
+
+def test_export_npz_roundtrips_into_registry(tmp_path):
+    from llp_tpu.data.registry import get_dataset
+    from llp_tpu.data.subsample import export_npz
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(30, 6)).astype(np.float32)
+    ei = np.stack([np.arange(29, dtype=np.int64), np.arange(1, 30, dtype=np.int64)])
+    both = np.concatenate([ei, ei[::-1]], axis=1)
+    export_npz(str(tmp_path / "mygraph.npz"), x, both)
+    ds = get_dataset(str(tmp_path), "mygraph")
+    assert ds.num_nodes == 30
+    np.testing.assert_allclose(ds.x, x)
+    assert ds.edge_index.shape == both.shape
