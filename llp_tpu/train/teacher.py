@@ -87,6 +87,20 @@ def make_teacher_epoch_fn(
     stateful = norm_type == "batch"
     cdtype = resolve_dtype(compute_dtype)
 
+    def _should_hoist(d_in: int, h_out: int) -> bool:
+        """Hoisting trades `steps` layer-1 SpMMs for ONE per program — but at
+        the INPUT width. For agg-then-linear SAGE the unhoisted SpMM already
+        runs at width d_in, so hoisting is a pure win; for linear-then-
+        aggregate SAGE and GCN the unhoisted SpMM runs at width h_out (that
+        order exists exactly because D >> H on coauthor-physics,
+        train_teacher_gnn.py:375-383), so hoist only when one wide pass
+        costs less than `steps` narrow ones."""
+        if encoder == "mlp":
+            return False
+        if encoder == "sage" and conv == "sage":
+            return True
+        return d_in <= steps * epochs_per_call * h_out
+
     def batch_loss(params, rng, graph, x, x_agg, edges, mask, neg_keys):
         params = cast_params(params, cdtype)  # fwd/bwd in compute dtype
         k_drop, k_pred, k_neg = jax.random.split(rng, 3)
@@ -129,8 +143,16 @@ def make_teacher_epoch_fn(
         if x.dtype == jnp.float32:
             x = x.astype(cdtype)  # cast once, outside the scan
         # Layer-1 aggregation is weight-free: one full-graph SpMM per PROGRAM
-        # instead of per batch (exact — aggregation commutes with weights).
-        x_agg = precompute_first_aggregation(encoder, graph, x, conv=conv, impl=spmm_impl)
+        # instead of per batch (exact — aggregation commutes with weights),
+        # gated on profitability (see _should_hoist).
+        x_agg = None
+        if encoder != "mlp":
+            conv0 = params["encoder"]["convs"][0]
+            h_out = (conv0["lin_l"] if "lin_l" in conv0 else conv0["lin"])["w"].shape[1]
+            if _should_hoist(int(x.shape[1]), int(h_out)):
+                x_agg = precompute_first_aggregation(
+                    encoder, graph, x, conv=conv, impl=spmm_impl
+                )
 
         def one_epoch(carry, ekey):
             params, opt_state = carry
