@@ -87,19 +87,23 @@ def make_teacher_epoch_fn(
     stateful = norm_type == "batch"
     cdtype = resolve_dtype(compute_dtype)
 
-    def _should_hoist(d_in: int, h_out: int) -> bool:
+    def _should_hoist(d_in: int, h_out: int, e_pad: int) -> bool:
         """Hoisting trades `steps` layer-1 SpMMs for ONE per program — but at
         the INPUT width. For agg-then-linear SAGE the unhoisted SpMM already
         runs at width d_in, so hoisting is a pure win; for linear-then-
         aggregate SAGE and GCN the unhoisted SpMM runs at width h_out (that
         order exists exactly because D >> H on coauthor-physics,
-        train_teacher_gnn.py:375-383), so hoist only when one wide pass
-        costs less than `steps` narrow ones."""
+        train_teacher_gnn.py:375-383), so hoist only when (a) one wide pass
+        costs less than `steps` narrow ones AND (b) the (E_pad, D) message
+        tensor the wide SpMM materializes actually fits — at physics scale
+        (560k edges × 8415 features) it would alone be ~19 GB."""
         if encoder == "mlp":
             return False
         if encoder == "sage" and conv == "sage":
-            return True
-        return d_in <= steps * epochs_per_call * h_out
+            return True  # the unhoisted SpMM runs at width d_in anyway
+        flop_ok = d_in <= steps * epochs_per_call * h_out
+        mem_ok = e_pad * d_in * 4 <= 2 * 1024**3
+        return flop_ok and mem_ok
 
     def batch_loss(params, rng, graph, x, x_agg, edges, mask, neg_keys):
         params = cast_params(params, cdtype)  # fwd/bwd in compute dtype
@@ -149,7 +153,7 @@ def make_teacher_epoch_fn(
         if encoder != "mlp":
             conv0 = params["encoder"]["convs"][0]
             h_out = (conv0["lin_l"] if "lin_l" in conv0 else conv0["lin"])["w"].shape[1]
-            if _should_hoist(int(x.shape[1]), int(h_out)):
+            if _should_hoist(int(x.shape[1]), int(h_out), graph.num_padded_edges):
                 x_agg = precompute_first_aggregation(
                     encoder, graph, x, conv=conv, impl=spmm_impl
                 )
