@@ -136,8 +136,12 @@ def bench_torch_cpu(ei: np.ndarray, x: np.ndarray, max_steps: int = 6) -> float:
     steps = -(-e // BATCH)
     timed = min(max_steps, steps)
     perm = torch.randperm(e)
-    t0 = time.perf_counter()
+    # Per-step timing, best step kept: the 2-core host is intermittently
+    # starved by the TPU tunnel process, so a sum-of-steps measurement
+    # swings wildly; the FASTEST step is the baseline's honest capability.
+    best = float("inf")
     for i in range(timed):
+        t0 = time.perf_counter()
         opt.zero_grad()
         z = sage_fwd()
         idx = perm[i * BATCH : (i + 1) * BATCH]
@@ -153,11 +157,9 @@ def bench_torch_cpu(ei: np.ndarray, x: np.ndarray, max_steps: int = 6) -> float:
         torch.nn.utils.clip_grad_norm_(enc.parameters(), 1.0)
         torch.nn.utils.clip_grad_norm_(pred.parameters(), 1.0)
         opt.step()
-    dt = time.perf_counter() - t0
-    edges_scored = 2 * sum(
-        min(BATCH, e - i * BATCH) for i in range(timed)
-    )
-    return edges_scored / dt
+        dt = time.perf_counter() - t0
+        best = min(best, dt / (2 * b))
+    return 1.0 / best
 
 
 def main():
