@@ -173,3 +173,22 @@ def test_split_cache_fingerprint_staleness(tmp_path, rng):
     # legacy cache without a fingerprint is treated as stale too
     save_split_npz(p, split)
     assert load_split_npz(p, expect_fingerprint=fp1) is None
+
+
+def test_registry_all_eight_reference_datasets_resolve():
+    """Every reference dataset name resolves with the real dataset's shape
+    (stand-in generation gated to the small ones to keep the suite fast;
+    the big ones are validated by shape-table lookup + collab/physics TPU
+    runs recorded in BASELINE.md)."""
+    from llp_tpu.data.registry import _REAL_SHAPES
+
+    expected = {
+        "cora", "citeseer", "pubmed", "coauthor-cs", "coauthor-physics",
+        "amazon-computers", "amazon-photos", "collab",
+    }
+    assert set(_REAL_SHAPES) == expected
+    for name in ("citeseer", "amazon-photos"):
+        ds = get_dataset("/tmp/llp-data", name)
+        n, d = _REAL_SHAPES[name][0], _REAL_SHAPES[name][1]
+        assert ds.x.shape == (n, d)
+        assert ds.edge_index.max() < n
