@@ -9,6 +9,7 @@ from llp_tpu.parallel.halo import (
     build_halo_partition,
     make_halo_sage_forward,
     make_halo_spmm,
+    make_halo_teacher_step,
     pad_nodes,
 )
 from llp_tpu.parallel.multihost import initialize_multihost, measure_scaling
@@ -23,6 +24,7 @@ __all__ = [
     "build_halo_partition",
     "make_halo_spmm",
     "make_halo_sage_forward",
+    "make_halo_teacher_step",
     "pad_nodes",
     "initialize_multihost",
     "measure_scaling",

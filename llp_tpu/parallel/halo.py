@@ -143,54 +143,186 @@ def pad_nodes(arr: np.ndarray | jnp.ndarray, part: HaloPartition):
     return jnp.pad(jnp.asarray(arr), widths)
 
 
+def plan_args(part: HaloPartition):
+    """The stacked exchange-plan arrays, in ``halo_spmm_local`` order."""
+    return (part.send_idx, part.loc_send, part.loc_recv,
+            part.rem_send, part.rem_recv)
+
+
+def halo_spmm_local(
+    part: HaloPartition,
+    axis: str,
+    x, in_deg, send_idx, ls, lr, rs, rr,
+    *,
+    reduce: str = "mean",
+):
+    """Device-LOCAL halo SpMM body, for composition inside an outer
+    ``shard_map`` (the halo train step runs it under the same map as the
+    loss).  The plan slices arrive with a leading shard dim of 1 (P(axis)
+    sharding of the stacked plan arrays)."""
+    n_per, m, p_ = part.n_per, part.m, part.num_shards
+    send_idx, ls, lr, rs, rr = (
+        send_idx[0], ls[0], lr[0], rs[0], rr[0],
+    )
+    acc = jnp.float32
+    # Start the halo exchange: gather requested rows, all-to-all them.
+    buf = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(p_, m, -1)
+    halo = jax.lax.all_to_all(buf, axis, 0, 0, tiled=True)
+    halo = halo.reshape(p_ * m, -1)
+    # Local-sender aggregation overlaps with the exchange (no dependence).
+    msgs_l = jnp.take(x, ls, axis=0).astype(acc)
+    out = jax.ops.segment_sum(
+        msgs_l, lr, num_segments=n_per, indices_are_sorted=True
+    )
+    # Remote-sender aggregation once the halo lands.
+    x_ext = jnp.concatenate([x.astype(acc), halo.astype(acc)], axis=0)
+    msgs_r = jnp.take(x_ext, rs, axis=0)
+    out = out + jax.ops.segment_sum(
+        msgs_r, rr, num_segments=n_per, indices_are_sorted=True
+    )
+    if reduce == "mean":
+        out = out / jnp.maximum(in_deg.astype(acc), 1.0)[:, None]
+    return out.astype(x.dtype)
+
+
 def make_halo_spmm(mesh: Mesh, part: HaloPartition, axis: str = "data"):
     """Returns ``spmm_fn(x_sharded, in_degree_sharded, reduce) -> out_sharded``.
 
     ``x_sharded``: (P·n_per, D) node features sharded on rows; output is
     sharded the same way. Differentiable (autodiff reverses the exchange).
     """
-    n_per, m, p_ = part.n_per, part.m, part.num_shards
-
-    def local_fn(x, in_deg, send_idx, ls, lr, rs, rr, reduce):
-        # squeeze the leading shard dim of the plan slices
-        send_idx, ls, lr, rs, rr = (
-            send_idx[0], ls[0], lr[0], rs[0], rr[0],
-        )
-        acc = jnp.float32
-        # Start the halo exchange: gather requested rows, all-to-all them.
-        buf = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(p_, m, -1)
-        halo = jax.lax.all_to_all(buf, axis, 0, 0, tiled=True)  # (P·m? , ...)
-        halo = halo.reshape(p_ * m, -1)
-        # Local-sender aggregation overlaps with the exchange (no dependence).
-        msgs_l = jnp.take(x, ls, axis=0).astype(acc)
-        out = jax.ops.segment_sum(
-            msgs_l, lr, num_segments=n_per, indices_are_sorted=True
-        )
-        # Remote-sender aggregation once the halo lands.
-        x_ext = jnp.concatenate([x.astype(acc), halo.astype(acc)], axis=0)
-        msgs_r = jnp.take(x_ext, rs, axis=0)
-        out = out + jax.ops.segment_sum(
-            msgs_r, rr, num_segments=n_per, indices_are_sorted=True
-        )
-        if reduce == "mean":
-            out = out / jnp.maximum(in_deg.astype(acc), 1.0)[:, None]
-        return out.astype(x.dtype)
 
     def spmm_fn(x_sharded, in_degree_sharded, reduce="mean"):
         from functools import partial
 
         return shard_map(
-            partial(local_fn, reduce=reduce),
+            partial(halo_spmm_local, part, axis, reduce=reduce),
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis),) * 7,
             out_specs=P(axis),
             check_vma=False,
-        )(
-            x_sharded, in_degree_sharded, part.send_idx, part.loc_send,
-            part.loc_recv, part.rem_send, part.rem_recv,
-        )
+        )(x_sharded, in_degree_sharded, *plan_args(part))
 
     return spmm_fn
+
+
+def make_halo_teacher_step(
+    mesh: Mesh,
+    part: HaloPartition,
+    *,
+    predictor_mode: str = "mlp",
+    conv: str = "sage",
+    dropout: float = 0.5,
+    lr: float = 0.005,
+    axis: str = "data",
+):
+    """Feature-sharded teacher train step.
+
+    The encoder runs fully node-sharded (halo-exchange aggregation +
+    row-parallel linears/ReLU/dropout — the expensive width-D tensors never
+    replicate); only the final H-dim embeddings are ``all_gather``'d for
+    edge scoring (H << D is exactly the regime where feature sharding pays).
+    Params replicated; link batches sharded; the loss is a psum'd masked
+    sum — identical math to the single-device step. Grads come out of
+    ``jax.grad`` inside the shard_map (all_gather transposes to
+    reduce-scatter, the halo exchange to its reverse).
+
+    Returns ``(step_fn, tx)``;
+    ``step_fn(params, opt_state, rng, x_sharded, in_degree_sharded,
+    pos_batch, neg_batch, batch_mask)``.
+    """
+    import optax
+
+    from llp_tpu.models.init import apply_linear
+    from llp_tpu.models.predictor import apply_link_predictor
+    from llp_tpu.train.optim import adam_update, clip_by_group_norm
+
+    tx = optax.adam(lr)
+
+    def device_loss(params, rng, x, in_deg, send_idx, ls, lr_, rs, rr,
+                    pos, neg, bmask):
+        def spmm_local(feats):
+            return halo_spmm_local(
+                part, axis, feats, in_deg, send_idx, ls, lr_, rs, rr,
+                reduce="mean",
+            )
+
+        dev = jax.lax.axis_index(axis)
+        h = x
+        convs = params["encoder"]["convs"]
+        for i, cp in enumerate(convs):
+            if conv == "sage_updated":
+                out = apply_linear(cp["lin_l"], h)
+                out = spmm_local(out) + apply_linear(cp["lin_r"], h)
+            else:
+                out = apply_linear(cp["lin_l"], spmm_local(h)) + apply_linear(
+                    cp["lin_r"], h
+                )
+            if i != len(convs) - 1:
+                out = jax.nn.relu(out)
+                if dropout > 0.0:
+                    # node-sharded rows: decorrelate masks across devices
+                    k = jax.random.fold_in(jax.random.fold_in(rng, i), dev)
+                    keep = 1.0 - dropout
+                    msk = jax.random.bernoulli(k, keep, out.shape)
+                    out = jnp.where(msk, out / keep, 0.0)
+            h = out
+
+        # Only the (narrow) embeddings replicate, for pairwise scoring.
+        h_full = jax.lax.all_gather(h, axis, tiled=True)  # (P·n_per, H)
+        src = jnp.concatenate([pos[:, 0], neg[:, 0]])
+        dst = jnp.concatenate([pos[:, 1], neg[:, 1]])
+        out = apply_link_predictor(
+            params["predictor"],
+            jnp.take(h_full, src, axis=0),
+            jnp.take(h_full, dst, axis=0),
+            mode=predictor_mode,
+            dropout=dropout,
+            train=True,
+            rng=jax.random.fold_in(rng, 99),
+        )
+        labels = jnp.concatenate(
+            [jnp.ones((pos.shape[0],)), jnp.zeros((neg.shape[0],))]
+        )
+        fmask = jnp.concatenate([bmask, bmask]).astype(jnp.float32)
+        p = jnp.clip(out.astype(jnp.float32), 1e-12, 1.0 - 1e-12)
+        elt = -(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p)) * fmask
+        num = jax.lax.psum(jnp.sum(elt), axis)
+        den = jax.lax.psum(jnp.sum(fmask), axis)
+        return num / jnp.maximum(den, 1.0)
+
+    def sharded_grad(*args):
+        loss, grads = jax.value_and_grad(device_loss)(*args)
+        # Per-device grads cover only that device's node rows / batch shard;
+        # the total gradient is their sum.
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    @jax.jit
+    def step_fn(params, opt_state, rng, x_sharded, in_degree_sharded,
+                pos_batch, neg_batch, batch_mask):
+        loss, grads = shard_map(
+            sharded_grad,
+            mesh=mesh,
+            in_specs=(
+                P(),        # params (replicated)
+                P(),        # rng
+                P(axis),    # x rows (feature-sharded!)
+                P(axis),    # in_degree rows
+            ) + (P(axis),) * 5 + (  # exchange plan
+                P(axis),    # pos_batch
+                P(axis),    # neg_batch
+                P(axis),    # batch_mask
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, rng, x_sharded, in_degree_sharded, *plan_args(part),
+          pos_batch, neg_batch, batch_mask)
+        grads = clip_by_group_norm(grads, 1.0)
+        params, opt_state = adam_update(tx, grads, opt_state, params)
+        return params, opt_state, loss
+
+    return step_fn, tx
 
 
 def make_halo_sage_forward(mesh: Mesh, part: HaloPartition, axis: str = "data"):

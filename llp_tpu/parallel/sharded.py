@@ -11,9 +11,11 @@ The multi-chip execution model (SURVEY.md §2.3, BASELINE north star):
 * **link/anchor batches sharded** along the same axis; losses are computed as
   per-device masked sums, psum'd, and normalized globally — bitwise the same
   reduction as the single-device path.
-* gradients come out of ``jax.grad`` *inside* the shard_map (psum
-  differentiates to psum), so each device holds identical replicated grads;
-  one Adam update runs replicated.
+* gradients come out of ``jax.grad`` *inside* the shard_map and are then
+  explicitly ``psum``'d: each device's backward covers only ITS edge/batch
+  shard's contribution (the psum'd loss transposes to per-shard cotangents),
+  and the total gradient is their sum — after which every device holds the
+  identical global gradient and one Adam update runs replicated.
 
 These step functions are the ``dryrun_multichip`` surface and compile/run on
 an N-virtual-device CPU mesh as well as a real slice.
@@ -209,6 +211,10 @@ def make_sharded_teacher_step(
             params, rng, senders, receivers, emask, in_deg, x, pos, neg, bmask,
             lay,
         )
+        # Each device holds only ITS edge/batch shard's gradient
+        # contribution (the psum'd loss transposes to per-shard cotangents);
+        # the total gradient is their sum.
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
         return loss, grads
 
     lay_args = ()
@@ -350,9 +356,12 @@ def make_sharded_student_step(
         return loss
 
     def sharded_grad(params, rng, graph, x, t_h, tpred, anchors, amask, pos, neg, bmask):
-        return jax.value_and_grad(device_loss)(
+        loss, grads = jax.value_and_grad(device_loss)(
             params, rng, graph, x, t_h, tpred, anchors, amask, pos, neg, bmask
         )
+        # Sum the per-shard gradient contributions (see the teacher step).
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
 
     @jax.jit
     def step_fn(params, opt_state, rng, graph, x, t_h, tpred,
