@@ -387,3 +387,65 @@ def test_sharded_teacher_step_matches_single_device(setup):
     # 4e-2 relative by step 3). A raw end-state param compare is unstable for
     # near-zero-gradient entries under Adam (fp-noise grads -> O(lr) update
     # differences without any loss effect), so it is intentionally omitted.
+
+
+def test_sharded_student_step_matches_single_device(setup):
+    """With the KD terms off (llp_d=llp_r=0) the student step is plain BCE —
+    exact ground truth against a hand-rolled single-device step (covers the
+    psum'd-gradient fix on the student path)."""
+    from llp_tpu.models.mlp import apply_mlp
+    from llp_tpu.models.predictor import apply_link_predictor
+    from llp_tpu.ops.losses import bce_loss
+    from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
+
+    g, x = setup
+    mesh = make_mesh(8)
+    step_fn, tx = make_sharded_student_step(
+        mesh, num_nodes=g.num_nodes, dropout=0.0, lr=0.01,
+        true_label=1.0, llp_d=0.0, llp_r=0.0, rw_step=2, hops=1, ns_rate=1,
+    )
+    params = init_student_params(
+        jax.random.PRNGKey(0), in_channels=32, hidden_channels=16,
+        num_layers=2, predictor_mode="mlp",
+    )
+    teacher = init_teacher_params(
+        jax.random.PRNGKey(1), encoder="sage", in_channels=32,
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    t_h = jnp.asarray(np.random.default_rng(2).normal(size=(96, 16)), jnp.float32)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+    ps, ss = copy(params), tx.init(copy(params))
+
+    rng = np.random.default_rng(4)
+    b = 32
+    anchors = jnp.arange(b, dtype=jnp.int32)
+    amask = jnp.ones((b,), bool)
+    pos = jnp.stack(
+        [g.senders[:b].astype(jnp.int32), g.receivers[:b].astype(jnp.int32)],
+        axis=1,
+    )
+    neg = jnp.asarray(rng.integers(0, 96, size=(b, 2)), jnp.int32)
+    bmask = jnp.ones((b,), bool)
+
+    def single_loss(p):
+        h = apply_mlp(p["encoder"], x)
+        src = jnp.concatenate([pos[:, 0], neg[:, 0]])
+        dst = jnp.concatenate([pos[:, 1], neg[:, 1]])
+        out = apply_link_predictor(
+            p["predictor"], jnp.take(h, src, axis=0), jnp.take(h, dst, axis=0),
+            mode="mlp", train=False,
+        )
+        labels = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
+        return bce_loss(out, labels, jnp.concatenate([bmask, bmask]))
+
+    tx1, _ = adam_init({}, 0.01)
+    p1, s1 = copy(params), tx1.init(copy(params))
+    for i in range(4):
+        ps, ss, loss_sh = step_fn(
+            ps, ss, jax.random.PRNGKey(i), g, x, t_h, teacher["predictor"],
+            anchors, amask, pos, neg, bmask,
+        )
+        l1, grads = jax.value_and_grad(single_loss)(p1)
+        grads = clip_by_group_norm(grads, 1.0)
+        p1, s1 = adam_update(tx1, grads, s1, p1)
+        np.testing.assert_allclose(float(loss_sh), float(l1), rtol=1e-5)
