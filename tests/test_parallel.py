@@ -449,3 +449,38 @@ def test_sharded_student_step_matches_single_device(setup):
         grads = clip_by_group_norm(grads, 1.0)
         p1, s1 = adam_update(tx1, grads, s1, p1)
         np.testing.assert_allclose(float(loss_sh), float(l1), rtol=1e-5)
+
+
+def test_halo_partition_non_divisible_and_isolated():
+    """n % P != 0 (padded owner rows) and isolated nodes must stay exact."""
+    from llp_tpu.parallel.halo import (
+        build_halo_partition,
+        make_halo_spmm,
+        pad_nodes,
+    )
+
+    n = 97  # 8 shards -> n_per=13, 7 padded rows on the last shard
+    m = 90  # nodes 90..96 isolated
+    ei = np.stack(
+        [np.arange(m, dtype=np.int64), (np.arange(m, dtype=np.int64) + 7) % m]
+    )
+    both = np.concatenate([ei, ei[::-1]], axis=1)
+    g = build_graph(both, n)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+
+    mesh = make_mesh(8)
+    part = build_halo_partition(g, 8)
+    spmm_fn = make_halo_spmm(mesh, part)
+    xs = pad_nodes(x, part)
+    degs = pad_nodes(np.asarray(jax.device_get(g.in_degree)), part)
+    for reduce in ("sum", "mean"):
+        ref = np.asarray(spmm(g, x, reduce))
+        out = np.asarray(
+            partial(jax.jit, static_argnames="reduce")(
+                lambda xs_, reduce: spmm_fn(xs_, degs, reduce)
+            )(xs, reduce=reduce)
+        )[:n]
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+        # isolated nodes aggregate to zero under both reduces
+        np.testing.assert_array_equal(out[m:], 0.0)
