@@ -48,10 +48,16 @@ class BlockedSegsumLayout(NamedTuple):
     block_r0: jnp.ndarray   # (B,) int32 — window base row (8-aligned)
     num_blocks: int
     n_out_pad: int          # out rows incl. window overhang
+    slot_edge: jnp.ndarray | None = None  # (B*BE,) int32 — original edge id of
+    #   each slot (pad = num input edges): permutes per-edge data (weights)
+    #   into block order. Only built when edge_ids is passed.
 
 
 def build_blocked_layout(
-    seg_ids: np.ndarray, senders: np.ndarray, num_segments: int
+    seg_ids: np.ndarray,
+    senders: np.ndarray,
+    num_segments: int,
+    edge_ids: np.ndarray | None = None,
 ) -> BlockedSegsumLayout:
     """Cut a sorted (seg_ids, senders) edge stream into windowed blocks.
 
@@ -60,6 +66,11 @@ def build_blocked_layout(
     chunked into blocks of BE. Compared to a greedy scan this splits blocks
     at window boundaries (~N/RMAX extra blocks, a few percent), but builds a
     multi-million-edge layout in milliseconds instead of seconds.
+
+    ``edge_ids`` (optional, (E,)): an id per input edge; when given, the
+    layout also records ``slot_edge`` — each block slot's edge id (pad slots
+    get ``len(edge_ids)``) — so per-edge payloads (e.g. weights) can be
+    gathered into block order at run time.
     """
     seg_ids = np.asarray(seg_ids, np.int64)
     senders = np.asarray(senders, np.int64)
@@ -72,6 +83,7 @@ def build_blocked_layout(
             jnp.zeros((1,), jnp.int32),
             1,
             n_out_pad,
+            None if edge_ids is None else jnp.zeros((BE,), jnp.int32),
         )
     assert seg_ids[0] >= 0 and (np.diff(seg_ids) >= 0).all(), "seg_ids must be sorted"
 
@@ -96,12 +108,19 @@ def build_blocked_layout(
     first_edge = np.searchsorted(chunk_of_edge, np.arange(b))
     r0s[:] = r0_of_edge[first_edge].astype(np.int32)
 
+    slot_edge = None
+    if edge_ids is not None:
+        se = np.full((b * BE,), e, np.int32)
+        se[pos] = np.asarray(edge_ids, np.int64).astype(np.int32)
+        slot_edge = jnp.asarray(se)
+
     return BlockedSegsumLayout(
         jnp.asarray(send_out),
         jnp.asarray(local.reshape(-1, 1)),
         jnp.asarray(r0s),
         b,
         n_out_pad,
+        slot_edge,
     )
 
 
@@ -183,6 +202,7 @@ def _segment_sum_arrays(
     num_blocks: int,
     n_out_pad: int,
     num_segments: int,
+    slot_weights: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Kernel entry over raw layout arrays (fp32 output, sliced to rows/cols).
@@ -190,6 +210,10 @@ def _segment_sum_arrays(
     Accepts traced layout arrays so it can run inside ``shard_map`` with
     per-device layout slices (the static ``num_blocks``/``n_out_pad`` must be
     shared across shards — pad per-shard layouts to the max block count).
+
+    ``slot_weights`` (optional, (B*BE,)): per-slot scalars multiplied into the
+    gathered messages before the windowed reduction — the weighted-SpMM hook
+    (weights already permuted into block order via the layout's slot_edge).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -198,6 +222,8 @@ def _segment_sum_arrays(
     msgs = jnp.take(x, senders, axis=0)
     if msgs.dtype not in (jnp.float32, jnp.bfloat16):
         msgs = msgs.astype(jnp.float32)
+    if slot_weights is not None:
+        msgs = msgs * slot_weights.astype(msgs.dtype)[:, None]
     if d_pad != d:
         msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
     out = _segsum_call(
@@ -292,17 +318,111 @@ def get_blocked_spmm_fn(graph, reduce: str):
     return f
 
 
-def prepare_segsum(graph) -> None:
+def segsum_weighted_ready(graph) -> bool:
+    return (graph.cache_token, "mean", "w") in _SEG_FN_CACHE
+
+
+def get_blocked_spmm_weighted_fn(graph, reduce: str):
+    """custom-vjp'd (x, w) -> aggregate(w ⊙ x) over the graph — the
+    edge-weighted SpMM (per-edge scalar on each message) on the windowed
+    kernel in both directions.  Replaces ``torch_sparse.matmul`` over a
+    value-carrying SparseTensor (the reference strips values at
+    ``src/sageconv_updated.py:86-89``, but GCN-style normalizations and
+    weighted graphs need them).  ``w`` is over the graph's canonical
+    (receiver-sorted, padded) edge order, like ``spmm``'s ``edge_weight``;
+    entries past ``num_edges`` are ignored.  dx rides the kernel; dw is the
+    per-edge SDDMM dot <g[recv], x[send]>.
+    """
+    key = (graph.cache_token, reduce, "w")
+    hit = _SEG_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if isinstance(graph.senders, jax.core.Tracer):
+        raise RuntimeError(
+            "weighted blocked-segsum layout not built for this graph; call "
+            "prepare_segsum(graph, weighted=True) outside jit first"
+        )
+    e = graph.num_edges
+    n = graph.num_nodes
+    recv = np.asarray(jax.device_get(graph.receivers))[:e]
+    send = np.asarray(jax.device_get(graph.senders))[:e]
+    assert graph.receiver_sorted, "canonical graphs are receiver-sorted"
+    lay_f = build_blocked_layout(recv, send, n, edge_ids=np.arange(e))
+    # Backward: the same canonical edges re-sorted by sender, keeping each
+    # slot's canonical edge id so the SAME weight vector serves both passes.
+    order = np.argsort(send, kind="stable")
+    lay_b = build_blocked_layout(send[order], recv[order], n, edge_ids=order)
+    inv_deg = jnp.asarray(
+        1.0 / np.maximum(np.asarray(jax.device_get(graph.in_degree), np.float32), 1.0)
+    )
+    recv_c = jnp.asarray(recv.astype(np.int32))
+    send_c = jnp.asarray(send.astype(np.int32))
+
+    def _w_ext(w):
+        # Canonical weights + a trailing 0 that pad slots (slot_edge == e) hit.
+        return jnp.concatenate(
+            [w[:e].astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
+        )
+
+    def fwd_impl(x, w):
+        out = _segment_sum_arrays(
+            x, lay_f.senders, lay_f.local_ids, lay_f.block_r0,
+            num_blocks=lay_f.num_blocks, n_out_pad=lay_f.n_out_pad,
+            num_segments=n, slot_weights=jnp.take(_w_ext(w), lay_f.slot_edge),
+        )
+        if reduce == "mean":
+            out = out * inv_deg[:, None]
+        return out.astype(x.dtype)
+
+    @jax.custom_vjp
+    def f(x, w):
+        return fwd_impl(x, w)
+
+    def f_fwd(x, w):
+        return fwd_impl(x, w), (x, w)
+
+    def f_bwd(res, g):
+        x, w = res
+        gf = g.astype(jnp.float32)
+        if reduce == "mean":
+            gf = gf * inv_deg[:, None]
+        dx = _segment_sum_arrays(
+            gf, lay_b.senders, lay_b.local_ids, lay_b.block_r0,
+            num_blocks=lay_b.num_blocks, n_out_pad=lay_b.n_out_pad,
+            num_segments=n, slot_weights=jnp.take(_w_ext(w), lay_b.slot_edge),
+        ).astype(g.dtype)
+        # dw[e] = <g_scaled[recv[e]], x[send[e]]> on real edges, 0 on padding.
+        dwe = jnp.sum(
+            jnp.take(gf, recv_c, axis=0)
+            * jnp.take(x, send_c, axis=0).astype(jnp.float32),
+            axis=1,
+        )
+        dw = jnp.zeros(w.shape, w.dtype).at[:e].set(dwe.astype(w.dtype))
+        return dx, dw
+
+    f.defvjp(f_fwd, f_bwd)
+    _SEG_FN_CACHE[key] = f
+    return f
+
+
+def prepare_segsum(graph, weighted: bool = False) -> None:
     """Pre-build both directions' layouts + vjp'd fns (outside jit)."""
     get_blocked_spmm_fn(graph, "mean")
     get_blocked_spmm_fn(graph, "sum")
+    if weighted:
+        get_blocked_spmm_weighted_fn(graph, "mean")
+        get_blocked_spmm_weighted_fn(graph, "sum")
 
 
-def spmm_segsum(graph, x: jnp.ndarray, reduce: str) -> jnp.ndarray:
+def spmm_segsum(
+    graph, x: jnp.ndarray, reduce: str, edge_weight: jnp.ndarray | None = None
+) -> jnp.ndarray:
     if reduce == "max":
         from llp_tpu.ops.spmm import _spmm_xla
 
         return _spmm_xla(graph, x, "max")
+    if edge_weight is not None:
+        return get_blocked_spmm_weighted_fn(graph, reduce)(x, edge_weight)
     return get_blocked_spmm_fn(graph, reduce)(x)
 
 

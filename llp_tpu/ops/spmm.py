@@ -62,12 +62,23 @@ def spmm(
     if impl == "segsum":
         # Windowed Pallas segmented-sum — the fastest single-chip path
         # (2.2x over the XLA sorted scatter on v5e). Requires
-        # prepare_segsum(graph) before jit; falls back to XLA otherwise.
-        from llp_tpu.ops.pallas.segsum_kernel import segsum_ready, spmm_segsum
+        # prepare_segsum(graph) before jit (weighted=True for the
+        # edge-weighted variant); falls back to XLA otherwise.
+        from llp_tpu.ops.pallas.segsum_kernel import (
+            segsum_ready,
+            segsum_weighted_ready,
+            spmm_segsum,
+        )
 
-        if edge_weight is None and reduce in ("sum", "mean"):
-            if segsum_ready(graph) or not isinstance(graph.senders, jax.core.Tracer):
-                return spmm_segsum(graph, x, reduce)
+        if reduce in ("sum", "mean"):
+            concrete = not isinstance(graph.senders, jax.core.Tracer)
+            ready = (
+                segsum_weighted_ready(graph)
+                if edge_weight is not None
+                else segsum_ready(graph)
+            )
+            if ready or concrete:
+                return spmm_segsum(graph, x, reduce, edge_weight)
         impl = "xla"
     if impl == "pallas":
         from llp_tpu.ops.pallas.spmm_kernel import spmm_pallas, pallas_supported
