@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--KD_LM", dest="KD_LM", type=float, default=0.0)
     p.add_argument("--LLP_D", dest="LLP_D", type=float, default=1.0)
     p.add_argument("--LLP_R", dest="LLP_R", type=float, default=1.0)
+    p.add_argument(
+        "--llp_r_chunk", type=int, default=0,
+        help="LLP_R pair chunk size (0 = materialize all C(C,2) pairs)",
+    )
     p.add_argument("--margin", type=float, default=0.1)
     p.add_argument("--rw_step", type=int, default=3)
     p.add_argument("--ns_rate", type=int, default=1)

@@ -484,6 +484,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         kd_lm=cfg.kd_lm,
         llp_d=cfg.llp_d,
         llp_r=cfg.llp_r,
+        llp_r_chunk=cfg.llp_r_chunk,
         margin=cfg.margin,
         rw_step=cfg.rw_step,
         hops=cfg.hops,

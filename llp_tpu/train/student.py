@@ -93,6 +93,7 @@ def make_student_epoch_fn(
     norm_type: str = "none",
     compute_dtype="float32",
     epochs_per_call: int = 1,
+    llp_r_chunk: int = 0,
 ):
     """Build the jitted student epoch.
 
@@ -115,6 +116,28 @@ def make_student_epoch_fn(
     c = rw_step * hops * (1 + ns_rate)
     use_kd = (llp_d != 0.0) or (llp_r != 0.0)
     pairs = pair_table(c) if (llp_r != 0.0 and use_kd) else None
+
+    # Memory-bounded LLP_R: with llp_r_chunk > 0 the C(C,2) pair sweep runs
+    # as a rematerialized lax.scan over fixed-size pair chunks — the same
+    # terms and masked mean (summation merely reassociated) at O(B·chunk)
+    # live memory instead of O(B·C²).  The reference materializes every pair
+    # each batch
+    # (main.py:112,193); large-C sweeps (collab configs reach C≈60, ~1.8k
+    # pairs/anchor) are exactly where this matters.
+    pair_chunks = None
+    if pairs is not None and 0 < llp_r_chunk < pairs.shape[1]:
+        p_total = pairs.shape[1]
+        pc = llp_r_chunk
+        nchunks = -(-p_total // pc)
+        pnp = np.asarray(pairs)
+        pad = nchunks * pc - p_total
+        padded = np.pad(pnp, ((0, 0), (0, pad)))
+        pvalid = (np.arange(nchunks * pc) < p_total).reshape(nchunks, pc)
+        pair_chunks = (
+            jnp.asarray(padded[0].reshape(nchunks, pc)),
+            jnp.asarray(padded[1].reshape(nchunks, pc)),
+            jnp.asarray(pvalid),
+        )
 
     tx, _ = adam_init({}, lr)
     stateful = norm_type == "batch"
@@ -194,7 +217,34 @@ def make_student_epoch_fn(
 
             if llp_d != 0.0:
                 loss = loss + llp_d * kl_div_loss(s_r, t_r, 1.0, row_mask=amask)
-            if llp_r != 0.0:
+            if llp_r != 0.0 and pair_chunks is not None:
+                p0c, p1c, pvc = pair_chunks
+
+                @jax.checkpoint
+                def pair_chunk_sums(s_r, t_r, amask, p0, p1, pv):
+                    t0 = jnp.take(t_r, p0, axis=1)
+                    t1 = jnp.take(t_r, p1, axis=1)
+                    target = jnp.where(
+                        t0 > t1 + margin, 1.0, jnp.where(t0 < t1 - margin, -1.0, 0.0)
+                    )
+                    s0 = jnp.take(s_r, p0, axis=1).astype(jnp.float32)
+                    s1 = jnp.take(s_r, p1, axis=1).astype(jnp.float32)
+                    elt = jnp.maximum(0.0, -target * (s0 - s1) + margin)
+                    m = (amask[:, None] & pv[None, :]).astype(jnp.float32)
+                    return jnp.sum(elt * m), jnp.sum(m)
+
+                def pair_chunk(carry, inp):
+                    num, den = carry
+                    cn, cd = pair_chunk_sums(s_r, t_r, amask, *inp)
+                    return (num + cn, den + cd), None
+
+                (pnum, pden), _ = jax.lax.scan(
+                    pair_chunk,
+                    (jnp.float32(0.0), jnp.float32(0.0)),
+                    (p0c, p1c, pvc),
+                )
+                loss = loss + llp_r * pnum / jnp.maximum(pden, 1.0)
+            elif llp_r != 0.0:
                 p0, p1 = pairs[0], pairs[1]
                 t0 = jnp.take(t_r, p0, axis=1)
                 t1 = jnp.take(t_r, p1, axis=1)

@@ -119,6 +119,10 @@ class StudentConfig(CommonConfig):
     kd_lm: float = 0.0
     llp_d: float = 1.0
     llp_r: float = 1.0
+    # LLP_R pair sweep chunk size (0 = materialize all C(C,2) pairs at once;
+    # >0 = rematerialized scan over chunks of this many pairs — same numbers,
+    # O(B·chunk) memory; for sweeps that push the context count C high).
+    llp_r_chunk: int = 0
     margin: float = 0.1
     rw_step: int = 3
     ns_rate: int = 1

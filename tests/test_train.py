@@ -246,3 +246,40 @@ def test_run_student_epochs_per_jit_equivalent(tmp_path):
     )
     assert log1["AUC"].results == log2["AUC"].results
     assert s1 == s2
+
+
+def test_student_llp_r_chunked_matches_unchunked():
+    # rw_step=2, hops=2, ns_rate=1 -> C=12, C(C,2)=66 pairs; chunk=20 pads the
+    # last chunk. Same keys => identical term sets; only summation order moves.
+    g, x, pos, keys = _problem()
+    t_h = jnp.asarray(
+        np.random.default_rng(0).normal(size=(g.num_nodes, 32)), jnp.float32
+    )
+    teacher = init_teacher_params(
+        jax.random.PRNGKey(9), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    kwargs = dict(
+        num_nodes=g.num_nodes, num_pos_edges=int(pos.shape[0]),
+        link_batch_size=256, node_batch_size=64, predictor_mode="mlp",
+        dropout=0.0, lr=0.01, true_label=0.5, llp_d=1.0, llp_r=1.0,
+        margin=0.1, rw_step=2, hops=2, ns_rate=1, neg_mode="dense",
+    )
+    fn_full, tx = make_student_epoch_fn(**kwargs)
+    fn_chunk, _ = make_student_epoch_fn(**kwargs, llp_r_chunk=20)
+    params = init_student_params(
+        jax.random.PRNGKey(2), in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+    pa, pb = copy(params), copy(params)
+    for ep in range(3):
+        pa, sa, la = fn_full(pa, tx.init(pa) if ep == 0 else sa,
+                             jax.random.PRNGKey(ep), g, x, t_h,
+                             teacher["predictor"], pos, keys)
+        pb, sb, lb = fn_chunk(pb, tx.init(pb) if ep == 0 else sb,
+                              jax.random.PRNGKey(ep), g, x, t_h,
+                              teacher["predictor"], pos, keys)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
