@@ -1,0 +1,110 @@
+"""Serving entry point: load a trained artifact and answer link queries.
+
+No counterpart exists in the reference (it has no inference binary; SURVEY
+§1) — this is the deployment surface for the artifacts the training CLIs
+produce: the student checkpoint (graph-free MLP — the LLP use case) or a
+teacher checkpoint (serves its saved best-val node features).
+
+    # top-K partner retrieval for query nodes
+    python -m llp_tpu.cli.serve --checkpoint saved/cora-student_transductive \\
+        --datasets cora --topk 10 --queries 0,42,1337
+
+    # score explicit candidate pairs
+    python -m llp_tpu.cli.serve --checkpoint saved/cora-student_transductive \\
+        --datasets cora --pairs 0:5,3:77
+
+Prints one JSON line per query / pair batch, plus a timing line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="LLP link-prediction serving (TPU)")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="checkpoint path prefix (no .npz/.json extension)")
+    p.add_argument("--datasets", type=str, default="cora")
+    p.add_argument("--dataset_dir", type=str, default="./data")
+    p.add_argument("--device", type=str, default=None)
+    p.add_argument("--topk", type=int, default=0)
+    p.add_argument("--queries", type=str, default="",
+                   help="comma-separated query node ids for --topk")
+    p.add_argument("--pairs", type=str, default="",
+                   help="comma-separated src:dst pairs to score")
+    p.add_argument("--block", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    from llp_tpu.cli.common import setup_device
+
+    setup_device(args.device)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llp_tpu.data.registry import get_dataset
+    from llp_tpu.serve import (
+        encode_nodes,
+        load_serving_artifacts,
+        score_pairs,
+        top_k_partners,
+    )
+
+    params, feats, meta = load_serving_artifacts(args.checkpoint)
+    mode = meta.get("predictor", "mlp")
+
+    t0 = time.perf_counter()
+    if feats is not None and meta.get("encoder", "mlp") != "mlp":
+        # GNN teacher: serve the checkpointed best-val embeddings.
+        h = jnp.asarray(feats)
+    else:
+        ds = get_dataset(args.dataset_dir, args.datasets)
+        h = encode_nodes(
+            params["encoder"], jnp.asarray(ds.x),
+            norm_type=meta.get("norm_type", "none"),
+        )
+    float(h[0, 0])  # force materialization for honest timing
+    t_encode = time.perf_counter() - t0
+
+    out = {"checkpoint": args.checkpoint, "nodes": int(h.shape[0]),
+           "dim": int(h.shape[1]), "encode_s": round(t_encode, 4)}
+
+    if args.topk and args.queries:
+        qi = np.array([int(s) for s in args.queries.split(",")], np.int32)
+        t0 = time.perf_counter()
+        vals, ids = top_k_partners(
+            params["predictor"], h, qi, k=args.topk, mode=mode,
+            block=args.block,
+        )
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        dt = time.perf_counter() - t0
+        out["topk_s"] = round(dt, 4)
+        out["pairs_scored_per_s"] = round(len(qi) * h.shape[0] / max(dt, 1e-9))
+        for r, q in enumerate(qi):
+            print(json.dumps({
+                "query": int(q),
+                "partners": ids[r].tolist(),
+                "scores": [round(float(v), 6) for v in vals[r]],
+            }))
+
+    if args.pairs:
+        se = [s.split(":") for s in args.pairs.split(",")]
+        src = np.array([int(a) for a, _ in se], np.int32)
+        dst = np.array([int(b) for _, b in se], np.int32)
+        t0 = time.perf_counter()
+        scores = np.asarray(score_pairs(params["predictor"], h, src, dst, mode=mode))
+        out["score_s"] = round(time.perf_counter() - t0, 4)
+        print(json.dumps({
+            "pairs": [f"{a}:{b}" for a, b in zip(src.tolist(), dst.tolist())],
+            "scores": [round(float(v), 6) for v in scores],
+        }))
+
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from llp_tpu.serve.engine import (  # noqa: F401
+    encode_nodes,
+    load_serving_artifacts,
+    score_pairs,
+    top_k_partners,
+)

@@ -1,0 +1,181 @@
+"""Link-prediction serving: batch scoring + top-K partner retrieval.
+
+The reference has no serving layer (SURVEY §1: single training process, no
+inference entry point) — yet serving is the POINT of LLP: the distilled MLP
+student exists so production systems can score links without graph access
+(reference ``src/main.py`` trains it; nothing ships it).  This subsystem is
+the deployment counterpart, TPU-shaped:
+
+* :func:`encode_nodes` — embed a node-feature matrix with a trained encoder
+  as ONE device program (a ``lax.scan`` over fixed-size row blocks: static
+  shapes at any N, peak memory bounded by the block).
+* :func:`score_pairs` — probability for (src, dst) candidate pairs, blocked
+  the same way; routes through the fused Pallas SDDMM eval kernel on TPU.
+* :func:`top_k_partners` — for each query node, the top-K highest-scoring
+  partner nodes over the whole embedding table, via a running top-k merge
+  over candidate blocks (brute-force scored on the MXU — ``q @ H^T`` for the
+  'inner' decoder, batched Hadamard→MLP for 'mlp').
+* :func:`load_serving_artifacts` — reads the training checkpoint (the
+  teacher/student artifact contract, reference ``train_teacher_gnn.py:
+  446-452`` / ``main.py:356-363``) with its self-describing arch metadata.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llp_tpu.models.mlp import apply_mlp
+from llp_tpu.models.predictor import apply_link_predictor
+from llp_tpu.utils.checkpoint import load_checkpoint
+
+
+def load_serving_artifacts(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Load a training checkpoint: ``(params, features_or_None, meta)``.
+
+    Teacher checkpoints carry best-val node features (the reference's
+    ``../saved-features`` contract) — GNN-encoder serving uses those
+    directly; MLP (student) checkpoints encode fresh features on demand.
+    """
+    ckpt, meta = load_checkpoint(path)
+    if isinstance(ckpt, dict) and "params" in ckpt:
+        return ckpt["params"], ckpt.get("features"), meta
+    return ckpt, None, meta
+
+
+def _pad_rows(a: jnp.ndarray, block: int) -> Tuple[jnp.ndarray, int]:
+    n = a.shape[0]
+    nb = max(1, -(-n // block))
+    pad = nb * block - n
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a, nb
+
+
+@functools.partial(jax.jit, static_argnames=("norm_type", "block"))
+def _encode_blocked(params, x, *, norm_type: str, block: int):
+    xp, nb = _pad_rows(x, block)
+
+    def body(_, xb):
+        return None, apply_mlp(params, xb, train=False, norm_type=norm_type)
+
+    _, hb = jax.lax.scan(body, None, xp.reshape(nb, block, x.shape[1]))
+    return hb.reshape(nb * block, -1)[: x.shape[0]]
+
+
+def encode_nodes(
+    encoder_params,
+    x: jnp.ndarray,
+    *,
+    norm_type: str = "none",
+    block: int = 8192,
+) -> jnp.ndarray:
+    """(N, D) features -> (N, H) embeddings, one jit, block-bounded memory."""
+    return _encode_blocked(encoder_params, jnp.asarray(x),
+                           norm_type=norm_type, block=min(block, max(1, x.shape[0])))
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "block"))
+def _score_blocked(params, h, src, dst, *, mode: str, block: int):
+    n_pairs = src.shape[0]
+    sp, nb = _pad_rows(src, block)
+    dp, _ = _pad_rows(dst, block)
+
+    def body(_, sd):
+        s, d = sd
+        hi = jnp.take(h, s, axis=0)
+        hj = jnp.take(h, d, axis=0)
+        return None, apply_link_predictor(
+            params, hi, hj, mode=mode, train=False, fused=True
+        )
+
+    _, out = jax.lax.scan(body, None, (sp.reshape(nb, block), dp.reshape(nb, block)))
+    return out.reshape(-1)[:n_pairs]
+
+
+def score_pairs(
+    predictor_params,
+    h: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    *,
+    mode: str = "mlp",
+    block: int = 131072,
+) -> jnp.ndarray:
+    """Probabilities for candidate (src, dst) pairs against embeddings h."""
+    src = jnp.asarray(src, jnp.int32)
+    dst = jnp.asarray(dst, jnp.int32)
+    return _score_blocked(predictor_params, h, src, dst, mode=mode,
+                          block=min(block, max(1, src.shape[0])))
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "k", "block", "exclude_self"))
+def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
+                  exclude_self: bool):
+    n = h.shape[0]
+    q_h = jnp.take(h, query_ids, axis=0)  # (Q, H)
+    q = q_h.shape[0]
+    hp, nb = _pad_rows(h, block)
+
+    def body(carry, b0):
+        vals, ids = carry  # (Q, k) each
+        cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)  # (B, H)
+        cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
+        scores = apply_link_predictor(
+            params, q_h[:, None, :], cand[None, :, :], mode=mode, train=False
+        )  # (Q, B)
+        invalid = cand_ids[None, :] >= n
+        if exclude_self:
+            invalid = invalid | (cand_ids[None, :] == query_ids[:, None])
+        scores = jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32))
+        all_vals = jnp.concatenate([vals, scores], axis=1)          # (Q, k+B)
+        all_ids = jnp.concatenate(
+            [ids, jnp.broadcast_to(cand_ids[None, :], (q, block))], axis=1
+        )
+        top_vals, top_pos = jax.lax.top_k(all_vals, k)
+        top_ids = jnp.take_along_axis(all_ids, top_pos, axis=1)
+        return (top_vals, top_ids), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, jnp.float32),
+        jnp.full((q, k), -1, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(
+        body, init, jnp.arange(nb, dtype=jnp.int32) * block
+    )
+    return vals, ids
+
+
+def top_k_partners(
+    predictor_params,
+    h: jnp.ndarray,
+    query_ids: jnp.ndarray,
+    *,
+    k: int = 10,
+    mode: str = "mlp",
+    block: int = 4096,
+    exclude_self: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K partner retrieval: for each query node, the K nodes with the
+    highest link probability, scanned over the full table in MXU-friendly
+    blocks with a running (k + block)-merge.  Returns ``(scores, node_ids)``,
+    each (Q, K), sorted descending."""
+    query_ids = jnp.asarray(query_ids, jnp.int32)
+    n = h.shape[0]
+    block = min(block, max(8, n))
+    k = min(k, n - 1 if exclude_self else n)
+    return _topk_blocked(predictor_params, h, query_ids, mode=mode, k=k,
+                         block=block, exclude_self=exclude_self)
+
+
+def candidate_scores_numpy(params, h, qi, mode):  # pragma: no cover - test aid
+    """Host brute-force reference used by the serving tests."""
+    hi = jnp.asarray(h)[qi][:, None, :]
+    return np.asarray(
+        apply_link_predictor(params, hi, jnp.asarray(h)[None, :, :],
+                             mode=mode, train=False)
+    )

@@ -226,6 +226,12 @@ def _teacher_ckpt_path(cfg) -> str:
     )
 
 
+def _student_ckpt_path(cfg) -> str:
+    return os.path.join(
+        cfg.save_dir, f"{cfg.datasets}-student_{cfg.transductive}"
+    )
+
+
 def _results_path(cfg, kind: str) -> str:
     return os.path.join(
         cfg.results_dir, f"{cfg.datasets}_{kind}_{cfg.transductive}.txt"
@@ -545,6 +551,12 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             if verbose:
                 print(f"resuming from run {resume_run} epoch {resume_epoch}")
 
+    # Best-val student export across runs (serving artifact — the deployable
+    # graph-free MLP; the reference's student saves nothing but text results,
+    # main.py:465-513 — this mirrors the teacher's artifact contract instead).
+    best_student = None
+    val_smax = 0.0
+
     for run in range(resume_run, cfg.runs):
         key = jax.random.PRNGKey(run + 1 + cfg.seed_offset)  # student: run+1
         params = init_student_params(
@@ -605,6 +617,9 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 best_val, cnt_wait = val, 0
             else:
                 cnt_wait += 1
+            if cfg.save_dir and val >= val_smax:
+                val_smax = val
+                best_student = jax.tree_util.tree_map(lambda a: a.copy(), params)
             for k, v in results.items():
                 loggers[k].add_result(run, v)
             if verbose and epoch % max(cfg.log_steps, 1) == 0:
@@ -623,6 +638,21 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             if cnt_wait >= cfg.patience:
                 break
             epoch += 1
+
+    if best_student is not None:
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        save_checkpoint(
+            _student_ckpt_path(cfg),
+            {"params": best_student},
+            meta=dict(
+                encoder="mlp",
+                predictor=cfg.predictor,
+                hidden_channels=cfg.hidden_channels,
+                num_layers=cfg.num_layers,
+                norm_type=cfg.norm_type,
+                in_channels=in_dim,
+            ),
+        )
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}
     perf = meter.summary()

@@ -1,0 +1,146 @@
+"""Serving engine: blocked encode/score parity + brute-force top-K checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llp_tpu.models.mlp import apply_mlp, init_mlp
+from llp_tpu.models.predictor import apply_link_predictor, init_link_predictor
+from llp_tpu.serve import (
+    encode_nodes,
+    load_serving_artifacts,
+    score_pairs,
+    top_k_partners,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    n, d, h = 203, 12, 16  # n deliberately not a multiple of any block
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    enc = init_mlp(jax.random.PRNGKey(0), 2, d, h, h)
+    emb = apply_mlp(enc, x, train=False)
+    preds = {
+        "mlp": init_link_predictor(jax.random.PRNGKey(1), "mlp", h, h, 1, 2),
+        "inner": init_link_predictor(jax.random.PRNGKey(2), "inner", h, h, 1, 2),
+    }
+    return x, enc, emb, preds
+
+
+def test_encode_nodes_matches_full_forward(setup):
+    x, enc, emb, _ = setup
+    out = encode_nodes(enc, x, block=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(emb), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["mlp", "inner"])
+def test_score_pairs_matches_direct(setup, mode):
+    x, enc, emb, preds = setup
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, x.shape[0], size=150).astype(np.int32)
+    dst = rng.integers(0, x.shape[0], size=150).astype(np.int32)
+    got = score_pairs(preds[mode], emb, src, dst, mode=mode, block=64)
+    want = apply_link_predictor(
+        preds[mode], jnp.take(emb, jnp.asarray(src), axis=0),
+        jnp.take(emb, jnp.asarray(dst), axis=0), mode=mode, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["mlp", "inner"])
+def test_top_k_partners_matches_bruteforce(setup, mode):
+    x, enc, emb, preds = setup
+    n = x.shape[0]
+    qi = np.array([0, 7, 100, n - 1], np.int32)
+    k = 5
+    vals, ids = top_k_partners(
+        preds[mode], emb, qi, k=k, mode=mode, block=64, exclude_self=True
+    )
+    # host brute force
+    full = np.asarray(
+        apply_link_predictor(
+            preds[mode], jnp.take(emb, jnp.asarray(qi), axis=0)[:, None, :],
+            emb[None, :, :], mode=mode, train=False,
+        )
+    )
+    for r, q in enumerate(qi):
+        scores = full[r].copy()
+        scores[q] = -np.inf
+        order = np.argsort(-scores)[:k]
+        np.testing.assert_allclose(np.asarray(vals)[r], scores[order], atol=1e-5)
+        # ids must score identically (ties may reorder ids)
+        np.testing.assert_allclose(
+            scores[np.asarray(ids)[r]], scores[order], atol=1e-5
+        )
+        assert q not in np.asarray(ids)[r]
+
+
+def test_top_k_without_self_exclusion(setup):
+    x, enc, emb, preds = setup
+    qi = np.array([3], np.int32)
+    vals, ids = top_k_partners(
+        preds["inner"], emb, qi, k=3, mode="inner", block=50, exclude_self=False
+    )
+    full = np.asarray(
+        apply_link_predictor(
+            preds["inner"], emb[3][None, None, :], emb[None, :, :],
+            mode="inner", train=False,
+        )
+    )[0]
+    np.testing.assert_allclose(np.asarray(vals)[0], np.sort(full)[::-1][:3], atol=1e-5)
+
+
+def test_load_serving_artifacts_roundtrip(tmp_path, setup):
+    from llp_tpu.utils.checkpoint import save_checkpoint
+
+    x, enc, emb, preds = setup
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(
+        path, {"params": {"encoder": enc, "predictor": preds["mlp"]}},
+        meta={"encoder": "mlp", "hidden_channels": 16, "predictor": "mlp"},
+    )
+    params, feats, meta = load_serving_artifacts(path)
+    assert meta["hidden_channels"] == 16 and feats is None
+    out = encode_nodes(params["encoder"], x, block=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(emb), atol=1e-5)
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """Train a tiny student (which exports its best-val checkpoint), then
+    answer top-K and pair queries through the serve CLI."""
+    from llp_tpu.cli.serve import main as serve_main
+    from llp_tpu.cli.train_student import main as student_main
+    from llp_tpu.cli.train_teacher import main as teacher_main
+
+    common = [
+        "--datasets=synthetic:sbm:150:3:6.0:9",
+        f"--dataset_dir={tmp_path}",
+        f"--save_dir={tmp_path}/saved",
+        f"--results_dir={tmp_path}/results",
+        "--hidden_channels=16",
+        "--epochs=2",
+        "--eval_steps=1",
+        "--patience=50",
+        "--device=cpu",
+        "--spmm_impl=xla",
+        "--log_steps=100",
+    ]
+    teacher_main(common + ["--runs=1", "--batch_size=1024"])
+    student_main(common + ["--runs=1", "--link_batch_size=1024"])
+    ckpt = f"{tmp_path}/saved/synthetic:sbm:150:3:6.0:9-student_transductive"
+    import os
+
+    assert os.path.exists(ckpt + ".npz")
+    out = serve_main([
+        f"--checkpoint={ckpt}",
+        "--datasets=synthetic:sbm:150:3:6.0:9",
+        f"--dataset_dir={tmp_path}",
+        "--device=cpu",
+        "--topk=5",
+        "--queries=0,7",
+        "--pairs=0:1,5:9",
+        "--block=64",
+    ])
+    assert out["nodes"] == 150 and out["pairs_scored_per_s"] > 0
