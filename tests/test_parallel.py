@@ -484,3 +484,30 @@ def test_halo_partition_non_divisible_and_isolated():
         np.testing.assert_allclose(out, ref, atol=1e-4)
         # isolated nodes aggregate to zero under both reduces
         np.testing.assert_array_equal(out[m:], 0.0)
+
+
+def test_sharded_topk_partners_matches_single_device():
+    from llp_tpu.models.predictor import init_link_predictor
+    from llp_tpu.parallel.eval import make_sharded_topk_partners
+    from llp_tpu.serve import top_k_partners
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    n, h_dim, k = 203, 16, 6
+    h = jnp.asarray(rng.normal(size=(n, h_dim)), jnp.float32)
+    pred = init_link_predictor(jax.random.PRNGKey(3), "mlp", h_dim, h_dim, 1, 2)
+    qi = jnp.asarray(np.array([0, 50, 202], np.int32))
+
+    n_pad = ((n + 7) // 8) * 8
+    h_pad = jnp.concatenate([h, jnp.zeros((n_pad - n, h_dim), jnp.float32)])
+    fn = make_sharded_topk_partners(
+        mesh, k=k, mode="mlp", num_nodes=n, block=16
+    )
+    vals, ids = fn(pred, h_pad, jnp.take(h, qi, axis=0), qi)
+
+    ref_vals, ref_ids = top_k_partners(pred, h, qi, k=k, mode="mlp", block=64)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), atol=1e-5)
+    # ties may reorder ids; scores at the returned ids must match
+    full = np.asarray(h)
+    for r in range(len(np.asarray(qi))):
+        assert np.asarray(qi)[r] not in np.asarray(ids)[r]
