@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--pairs", type=str, default="",
                    help="comma-separated src:dst pairs to score")
     p.add_argument("--block", type=int, default=4096)
+    p.add_argument("--reencode", action="store_true",
+                   help="GNN checkpoints: re-encode over the dataset's full "
+                        "edge set (inductive serving) instead of serving the "
+                        "checkpointed best-val features")
     args = p.parse_args(argv)
 
     from llp_tpu.cli.common import setup_device
@@ -57,7 +61,23 @@ def main(argv=None):
     mode = meta.get("predictor", "mlp")
 
     t0 = time.perf_counter()
-    if feats is not None and meta.get("encoder", "mlp") != "mlp":
+    is_gnn = meta.get("encoder", "mlp") != "mlp"
+    if is_gnn and args.reencode:
+        # Inductive serving: embed over the dataset's current edge set (new
+        # nodes/edges included) — the production-path re-encode (reference
+        # train_teacher_gnn.py:190-193) as a deployment operation.
+        from llp_tpu.core.graph import build_graph
+        from llp_tpu.serve.engine import encode_graph_nodes
+
+        ds = get_dataset(args.dataset_dir, args.datasets)
+        graph = build_graph(ds.edge_index, ds.num_nodes)
+        h = encode_graph_nodes(
+            params["encoder"], graph, jnp.asarray(ds.x),
+            encoder=meta.get("encoder", "sage"),
+            conv=meta.get("conv", "sage"),
+            norm_type=meta.get("norm_type", "none"),
+        )
+    elif feats is not None and is_gnn:
         # GNN teacher: serve the checkpointed best-val embeddings.
         h = jnp.asarray(feats)
     else:

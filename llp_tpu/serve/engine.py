@@ -79,6 +79,40 @@ def encode_nodes(
                            norm_type=norm_type, block=min(block, max(1, x.shape[0])))
 
 
+def encode_graph_nodes(
+    encoder_params,
+    graph,
+    x: jnp.ndarray,
+    *,
+    encoder: str = "sage",
+    conv: str = "sage",
+    norm_type: str = "none",
+    spmm_impl: str = "segsum",
+) -> jnp.ndarray:
+    """GNN-encoder serving: embed nodes with a full-graph forward.
+
+    The inductive (production) serving path — when new nodes arrive, the
+    teacher re-encodes the inference graph (reference ``train_teacher_gnn.py:
+    190-193``); this is that forward as one jit'd program, riding the
+    windowed segsum kernel on TPU.
+    """
+    from llp_tpu.models.encoder import apply_encoder
+
+    if spmm_impl == "segsum":
+        from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
+
+        prepare_segsum(graph)
+
+    @functools.partial(jax.jit, static_argnames=("enc", "cv", "nt", "impl"))
+    def fwd(params, g, xx, enc, cv, nt, impl):
+        return apply_encoder(
+            enc, params, g, xx, train=False, conv=cv, norm_type=nt, impl=impl,
+        )
+
+    return fwd(encoder_params, graph, jnp.asarray(x), encoder, conv,
+               norm_type, spmm_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "block"))
 def _score_blocked(params, h, src, dst, *, mode: str, block: int):
     n_pairs = src.shape[0]
@@ -113,10 +147,17 @@ def score_pairs(
                           block=min(block, max(1, src.shape[0])))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "k", "block", "exclude_self"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "k", "block", "exclude_self", "cdtype")
+)
 def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
-                  exclude_self: bool):
+                  exclude_self: bool, cdtype=None):
     n = h.shape[0]
+    if cdtype is not None:
+        # Retrieval tolerates reduced precision: bf16 table/query halve the
+        # candidate DMA and double the MXU rate; scores merge in fp32.
+        h = h.astype(cdtype)
+        params = jax.tree_util.tree_map(lambda a: a.astype(cdtype), params)
     q_h = jnp.take(h, query_ids, axis=0)  # (Q, H)
     q = q_h.shape[0]
     hp, nb = _pad_rows(h, block)
@@ -159,17 +200,23 @@ def top_k_partners(
     mode: str = "mlp",
     block: int = 4096,
     exclude_self: bool = True,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K partner retrieval: for each query node, the K nodes with the
     highest link probability, scanned over the full table in MXU-friendly
     blocks with a running (k + block)-merge.  Returns ``(scores, node_ids)``,
-    each (Q, K), sorted descending."""
+    each (Q, K), sorted descending.  ``compute_dtype=jnp.bfloat16`` runs the
+    scoring passes half-width (fp32 merge) for higher retrieval throughput."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
     block = min(block, max(8, n))
     k = min(k, n - 1 if exclude_self else n)
+    cdtype = None
+    if compute_dtype is not None:
+        cdtype = jnp.dtype(compute_dtype).name
+        cdtype = None if cdtype == h.dtype.name else getattr(jnp, cdtype)
     return _topk_blocked(predictor_params, h, query_ids, mode=mode, k=k,
-                         block=block, exclude_self=exclude_self)
+                         block=block, exclude_self=exclude_self, cdtype=cdtype)
 
 
 def candidate_scores_numpy(params, h, qi, mode):  # pragma: no cover - test aid

@@ -144,3 +144,58 @@ def test_serve_cli_end_to_end(tmp_path):
         "--block=64",
     ])
     assert out["nodes"] == 150 and out["pairs_scored_per_s"] > 0
+
+    # Teacher checkpoint: saved-features serving AND inductive re-encode.
+    tckpt = f"{tmp_path}/saved/synthetic:sbm:150:3:6.0:9-sage_transductive"
+    for extra in ([], ["--reencode"]):
+        tout = serve_main([
+            f"--checkpoint={tckpt}",
+            "--datasets=synthetic:sbm:150:3:6.0:9",
+            f"--dataset_dir={tmp_path}",
+            "--device=cpu",
+            "--topk=3",
+            "--queries=1",
+            "--block=64",
+        ] + extra)
+        assert tout["nodes"] == 150
+
+
+def test_encode_graph_nodes_matches_encoder(setup):
+    from llp_tpu.core import build_graph
+    from llp_tpu.data.synthetic import sbm_graph
+    from llp_tpu.models.encoder import apply_encoder, init_encoder
+    from llp_tpu.serve.engine import encode_graph_nodes
+
+    ei, _ = sbm_graph(120, 3, 5.0, seed=4)
+    g = build_graph(ei, 120)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(120, 10)), jnp.float32)
+    params = init_encoder(jax.random.PRNGKey(5), "sage", 10, 16, 16, 2)
+    got = encode_graph_nodes(params, g, x, encoder="sage", spmm_impl="segsum")
+    want = apply_encoder("sage", params, g, x, train=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_top_k_partners_bf16_compute(setup):
+    x, enc, emb, preds = setup
+    qi = np.array([2, 99], np.int32)
+    k = 5
+    v32, i32 = top_k_partners(preds["inner"], emb, qi, k=k, mode="inner", block=64)
+    v16, i16 = top_k_partners(
+        preds["inner"], emb, qi, k=k, mode="inner", block=64,
+        compute_dtype=jnp.bfloat16,
+    )
+    # bf16 scoring may swap near-ties, but every returned candidate's true
+    # (fp32) score must sit at or above the true k-th best minus bf16 noise.
+    full = np.asarray(
+        apply_link_predictor(
+            preds["inner"], jnp.take(emb, jnp.asarray(qi), axis=0)[:, None, :],
+            emb[None, :, :], mode="inner", train=False,
+        )
+    )
+    for r, q in enumerate(qi):
+        scores = full[r].copy()
+        scores[q] = -np.inf
+        kth = np.sort(scores)[::-1][k - 1]
+        assert (scores[np.asarray(i16)[r]] >= kth - 0.02).all()
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32), atol=0.02)
