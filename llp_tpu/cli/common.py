@@ -50,6 +50,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         choices=["float32", "bfloat16"],
         help="training compute dtype (fp32 master params; eval stays fp32)",
     )
+    p.add_argument(
+        "--num_devices", type=int, default=1,
+        help="data-parallel training over the first N local devices "
+             "(shard_map whole-epoch programs; pair with --device cpu:N "
+             "for a virtual CPU mesh)",
+    )
 
 
 def setup_device(spec: str) -> None:

@@ -59,6 +59,11 @@ def spmm(
         raise ValueError(f"unknown reduce {reduce!r}")
     if edge_weight is not None and reduce == "max":
         raise ValueError("edge_weight is not supported with reduce='max'")
+    if callable(impl):
+        # Injected aggregation (the sharded epoch functions pass a device-
+        # local gather+segment-sum+psum closure here so the unmodified model
+        # code runs inside shard_map — see llp_tpu.parallel.epoch).
+        return impl(graph, x, reduce, edge_weight)
     if impl == "segsum":
         # Windowed Pallas segmented-sum — the fastest single-chip path
         # (2.2x over the XLA sorted scatter on v5e). Requires

@@ -4,6 +4,10 @@ from llp_tpu.parallel.sharded import (
     make_sharded_teacher_step,
     make_sharded_student_step,
 )
+from llp_tpu.parallel.epoch import (
+    make_sharded_student_epoch_fn,
+    make_sharded_teacher_epoch_fn,
+)
 from llp_tpu.parallel.eval import make_sharded_hits_auc
 from llp_tpu.parallel.halo import (
     build_halo_partition,
@@ -20,6 +24,8 @@ __all__ = [
     "make_sharded_spmm",
     "make_sharded_teacher_step",
     "make_sharded_student_step",
+    "make_sharded_teacher_epoch_fn",
+    "make_sharded_student_epoch_fn",
     "make_sharded_hits_auc",
     "build_halo_partition",
     "make_halo_spmm",

@@ -293,9 +293,11 @@ def make_halo_teacher_step(
 
     def sharded_grad(*args):
         loss, grads = jax.value_and_grad(device_loss)(*args)
-        # Per-device grads cover only that device's node rows / batch shard;
-        # the total gradient is their sum.
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        # pmean, not psum: device_loss returns the REPLICATED (fully psum'd)
+        # scalar, so the ndev loss copies inject ndev cotangents and the raw
+        # psum of per-device grad pieces is ndev times the true gradient
+        # (see llp_tpu.parallel.sharded). pmean (= psum / ndev) is exact.
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
         return loss, grads
 
     @jax.jit

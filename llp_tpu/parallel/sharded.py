@@ -211,10 +211,12 @@ def make_sharded_teacher_step(
             params, rng, senders, receivers, emask, in_deg, x, pos, neg, bmask,
             lay,
         )
-        # Each device holds only ITS edge/batch shard's gradient
-        # contribution (the psum'd loss transposes to per-shard cotangents);
-        # the total gradient is their sum.
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        # pmean, NOT psum: device_loss returns the REPLICATED (fully psum'd)
+        # scalar, so each of the ndev loss copies injects a unit cotangent
+        # and the raw psum of the per-device grad pieces is ndev times the
+        # true gradient (masked in training by the norm clip whenever grad
+        # norms exceed the threshold). pmean (= psum / ndev) is exact.
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
         return loss, grads
 
     lay_args = ()
@@ -359,8 +361,9 @@ def make_sharded_student_step(
         loss, grads = jax.value_and_grad(device_loss)(
             params, rng, graph, x, t_h, tpred, anchors, amask, pos, neg, bmask
         )
-        # Sum the per-shard gradient contributions (see the teacher step).
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        # pmean, not psum — the replicated loss makes psum ndev-times the
+        # true gradient (see the teacher step).
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
         return loss, grads
 
     @jax.jit

@@ -62,6 +62,30 @@ def _conv_variant(cfg) -> str:
     return "sage_updated" if cfg.datasets == "coauthor-physics" else "sage"
 
 
+def _edge_pad_multiple(cfg) -> int:
+    """Padded edge counts must divide the mesh when training data-parallel."""
+    import math
+
+    nd = max(1, getattr(cfg, "num_devices", 1))
+    return 128 * nd // math.gcd(128, nd)
+
+
+def _training_mesh(cfg):
+    """1-D 'data' mesh over the first num_devices local devices (or None)."""
+    nd = max(1, getattr(cfg, "num_devices", 1))
+    if nd == 1:
+        return None
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < nd:
+        raise ValueError(
+            f"num_devices={nd} but only {len(devs)} devices are visible "
+            f"(for CPU testing set --device cpu:{nd})"
+        )
+    return Mesh(np.asarray(devs[:nd]), ("data",))
+
+
 def _fetch_results(results: dict) -> dict:
     """One device->host transfer for the whole metric dict.
 
@@ -90,7 +114,9 @@ def prepare_transductive(cfg):
         save_split_npz(cache, split, fingerprint=fp)
 
     train_edges = split["train"]["edge"].astype(np.int32)  # (E, 2), both dirs
-    graph = build_graph(train_edges.T, ds.num_nodes)
+    graph = build_graph(
+        train_edges.T, ds.num_nodes, pad_to_multiple=_edge_pad_multiple(cfg)
+    )
     x = jnp.asarray(ds.x)
 
     # use_valedges_as_input: score test edges against a message graph that
@@ -154,7 +180,9 @@ def prepare_production(cfg):
 
     n_old = ps.training_x.shape[0]
     n_all = ps.inference_x.shape[0]
-    train_graph = build_graph(ps.training_edge_index, n_old)
+    train_graph = build_graph(
+        ps.training_edge_index, n_old, pad_to_multiple=_edge_pad_multiple(cfg)
+    )
     inf_graph = build_graph(ps.inference_edge_index, n_all)
     train_x = jnp.asarray(ps.training_x)
     inf_x = jnp.asarray(ps.inference_x)
@@ -270,15 +298,36 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         link_batch_size=cfg.batch_size,
         neg_mode=_effective_neg_mode(cfg, data["graph"].num_nodes),
         lr=cfg.lr,
-        spmm_impl=cfg.spmm_impl,
         norm_type=cfg.norm_type,
         compute_dtype=cfg.compute_dtype,
     )
-    epoch_fn, tx = make_teacher_epoch_fn(**teacher_kwargs)
+    mesh = _training_mesh(cfg)
     block = max(cfg.epochs_per_jit, 1)
     block_fn = None
-    if block > 1:
-        block_fn, _ = make_teacher_epoch_fn(**teacher_kwargs, epochs_per_call=block)
+    if mesh is None:
+        epoch_fn, tx = make_teacher_epoch_fn(
+            **teacher_kwargs, spmm_impl=cfg.spmm_impl
+        )
+        if block > 1:
+            block_fn, _ = make_teacher_epoch_fn(
+                **teacher_kwargs, spmm_impl=cfg.spmm_impl, epochs_per_call=block
+            )
+    else:
+        from llp_tpu.parallel.epoch import make_sharded_teacher_epoch_fn
+
+        seg_layouts = None
+        if cfg.spmm_impl == "segsum":
+            from llp_tpu.ops.pallas.segsum_kernel import build_shard_layouts
+
+            seg_layouts = build_shard_layouts(data["graph"], cfg.num_devices)
+        epoch_fn, tx = make_sharded_teacher_epoch_fn(
+            mesh, **teacher_kwargs, segsum_layouts=seg_layouts
+        )
+        if block > 1:
+            block_fn, _ = make_sharded_teacher_epoch_fn(
+                mesh, **teacher_kwargs, segsum_layouts=seg_layouts,
+                epochs_per_call=block,
+            )
     if production:
         eval_fn = make_production_eval_fn(
             encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
@@ -501,11 +550,23 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
         norm_type=cfg.norm_type,
         compute_dtype=cfg.compute_dtype,
     )
-    epoch_fn, tx = make_student_epoch_fn(**student_kwargs)
+    mesh = _training_mesh(cfg)
     block = max(cfg.epochs_per_jit, 1)
     block_fn = None
-    if block > 1:
-        block_fn, _ = make_student_epoch_fn(**student_kwargs, epochs_per_call=block)
+    if mesh is None:
+        epoch_fn, tx = make_student_epoch_fn(**student_kwargs)
+        if block > 1:
+            block_fn, _ = make_student_epoch_fn(
+                **student_kwargs, epochs_per_call=block
+            )
+    else:
+        from llp_tpu.parallel.epoch import make_sharded_student_epoch_fn
+
+        epoch_fn, tx = make_sharded_student_epoch_fn(mesh, **student_kwargs)
+        if block > 1:
+            block_fn, _ = make_sharded_student_epoch_fn(
+                mesh, **student_kwargs, epochs_per_call=block
+            )
     if production:
         eval_fn = make_production_eval_fn(
             encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,

@@ -69,6 +69,25 @@ def pair_table(num_contexts: int) -> jnp.ndarray:
     return jnp.asarray(pairs, jnp.int32)
 
 
+def build_pair_chunks(pairs: jnp.ndarray, chunk: int):
+    """Split the C(C,2) pair table into fixed-size chunks for the
+    rematerialized LLP_R scan.  Returns ``(p0_chunks, p1_chunks, valid)``
+    each (num_chunks, chunk), or ``None`` when chunking is off / pointless."""
+    if pairs is None or not (0 < chunk < pairs.shape[1]):
+        return None
+    p_total = pairs.shape[1]
+    nchunks = -(-p_total // chunk)
+    pnp = np.asarray(pairs)
+    pad = nchunks * chunk - p_total
+    padded = np.pad(pnp, ((0, 0), (0, pad)))
+    pvalid = (np.arange(nchunks * chunk) < p_total).reshape(nchunks, chunk)
+    return (
+        jnp.asarray(padded[0].reshape(nchunks, chunk)),
+        jnp.asarray(padded[1].reshape(nchunks, chunk)),
+        jnp.asarray(pvalid),
+    )
+
+
 def make_student_epoch_fn(
     *,
     num_nodes: int,
@@ -124,20 +143,7 @@ def make_student_epoch_fn(
     # each batch
     # (main.py:112,193); large-C sweeps (collab configs reach C≈60, ~1.8k
     # pairs/anchor) are exactly where this matters.
-    pair_chunks = None
-    if pairs is not None and 0 < llp_r_chunk < pairs.shape[1]:
-        p_total = pairs.shape[1]
-        pc = llp_r_chunk
-        nchunks = -(-p_total // pc)
-        pnp = np.asarray(pairs)
-        pad = nchunks * pc - p_total
-        padded = np.pad(pnp, ((0, 0), (0, pad)))
-        pvalid = (np.arange(nchunks * pc) < p_total).reshape(nchunks, pc)
-        pair_chunks = (
-            jnp.asarray(padded[0].reshape(nchunks, pc)),
-            jnp.asarray(padded[1].reshape(nchunks, pc)),
-            jnp.asarray(pvalid),
-        )
+    pair_chunks = build_pair_chunks(pairs, llp_r_chunk) if pairs is not None else None
 
     tx, _ = adam_init({}, lr)
     stateful = norm_type == "batch"

@@ -28,6 +28,28 @@ from llp_tpu.train.optim import adam_init, adam_update, clip_by_group_norm
 from llp_tpu.utils.precision import cast_params, resolve_dtype
 
 
+def should_hoist_first_agg(
+    encoder: str, conv: str, d_in: int, h_out: int, e_pad: int, total_steps: int
+) -> bool:
+    """Gate for hoisting the weight-free layer-1 aggregation out of the batch
+    loop.  Hoisting trades ``total_steps`` layer-1 SpMMs for ONE per program —
+    but at the INPUT width.  For agg-then-linear SAGE the unhoisted SpMM
+    already runs at width d_in, so hoisting is a pure win; for linear-then-
+    aggregate SAGE and GCN the unhoisted SpMM runs at width h_out (that order
+    exists exactly because D >> H on coauthor-physics, reference
+    train_teacher_gnn.py:375-383), so hoist only when (a) one wide pass costs
+    less than ``total_steps`` narrow ones AND (b) the (E_pad, D) message
+    tensor the wide SpMM materializes actually fits — at physics scale (560k
+    edges × 8415 features) it would alone be ~19 GB."""
+    if encoder == "mlp":
+        return False
+    if encoder == "sage" and conv == "sage":
+        return True  # the unhoisted SpMM runs at width d_in anyway
+    flop_ok = d_in <= total_steps * h_out
+    mem_ok = e_pad * d_in * 4 <= 2 * 1024**3
+    return flop_ok and mem_ok
+
+
 def init_teacher_params(key, *, encoder, in_channels, hidden_channels, num_layers,
                         predictor_mode, predictor_layers=2, norm_type="none"):
     """Teacher = encoder + LinkPredictor(hidden, hidden, 1, 2) — predictor
@@ -88,22 +110,9 @@ def make_teacher_epoch_fn(
     cdtype = resolve_dtype(compute_dtype)
 
     def _should_hoist(d_in: int, h_out: int, e_pad: int) -> bool:
-        """Hoisting trades `steps` layer-1 SpMMs for ONE per program — but at
-        the INPUT width. For agg-then-linear SAGE the unhoisted SpMM already
-        runs at width d_in, so hoisting is a pure win; for linear-then-
-        aggregate SAGE and GCN the unhoisted SpMM runs at width h_out (that
-        order exists exactly because D >> H on coauthor-physics,
-        train_teacher_gnn.py:375-383), so hoist only when (a) one wide pass
-        costs less than `steps` narrow ones AND (b) the (E_pad, D) message
-        tensor the wide SpMM materializes actually fits — at physics scale
-        (560k edges × 8415 features) it would alone be ~19 GB."""
-        if encoder == "mlp":
-            return False
-        if encoder == "sage" and conv == "sage":
-            return True  # the unhoisted SpMM runs at width d_in anyway
-        flop_ok = d_in <= steps * epochs_per_call * h_out
-        mem_ok = e_pad * d_in * 4 <= 2 * 1024**3
-        return flop_ok and mem_ok
+        return should_hoist_first_agg(
+            encoder, conv, d_in, h_out, e_pad, steps * epochs_per_call
+        )
 
     def batch_loss(params, rng, graph, x, x_agg, edges, mask, neg_keys):
         params = cast_params(params, cdtype)  # fwd/bwd in compute dtype

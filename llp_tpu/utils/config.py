@@ -59,6 +59,11 @@ class CommonConfig:
     epochs_per_jit: int = 1
     resume: bool = False       # resume from the last snapshot if present
     profile_dir: str = ""      # jax.profiler trace output ("" = off)
+    # Data-parallel training over the first N local devices (1 = single
+    # device). Runs the whole-epoch program under shard_map on a 1-D mesh:
+    # edges + batches sharded, params replicated, psum'd grads (see
+    # llp_tpu.parallel.epoch). Eval stays a single replicated program.
+    num_devices: int = 1
 
     @property
     def hits_ks(self) -> Tuple[int, ...]:
@@ -74,6 +79,8 @@ class CommonConfig:
 
         check_norm_type(self.norm_type)
         resolve_dtype(self.compute_dtype)  # validate early
+        if self.num_devices < 1:
+            raise ValueError(f"num_devices must be >= 1, got {self.num_devices}")
         if self.epochs_per_jit > 1 and max(self.eval_steps, 1) % self.epochs_per_jit:
             raise ValueError(
                 f"epochs_per_jit={self.epochs_per_jit} must divide "

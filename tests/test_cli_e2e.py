@@ -72,3 +72,37 @@ def test_stale_split_cache_regenerates(tmp_path):
     np.testing.assert_array_equal(
         e2, np.asarray(jax.device_get(data3["pos_edges"]))
     )
+
+
+def test_cli_data_parallel_num_devices(tmp_path):
+    """--num_devices=8 routes training through the sharded whole-epoch
+    programs (llp_tpu.parallel.epoch) end-to-end — teacher on the sharded
+    segsum kernel path, student on the sharded MLP path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 (virtual) devices")
+    common = [
+        "--datasets=synthetic:sbm:200:4:6.0:7",
+        f"--dataset_dir={tmp_path}",
+        f"--save_dir={tmp_path}/saved",
+        f"--results_dir={tmp_path}/results",
+        "--hidden_channels=32",
+        "--epochs=4",
+        "--eval_steps=2",
+        "--epochs_per_jit=2",
+        "--patience=50",
+        "--device=cpu",
+        "--log_steps=100",
+        "--num_devices=8",
+    ]
+    teacher_main(common + ["--runs=1", "--batch_size=1024", "--spmm_impl=segsum"])
+    assert os.path.exists(
+        tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_supervised_transductive.txt"
+    )
+    student_main(common + ["--runs=1", "--link_batch_size=1024", "--spmm_impl=xla"])
+    assert os.path.exists(
+        tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_KD_transductive.txt"
+    )

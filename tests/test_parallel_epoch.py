@@ -1,0 +1,215 @@
+"""Sharded whole-epoch training (llp_tpu.parallel.epoch) vs the single-device
+epoch programs: with dropout=0 and mesh-divisible batch sizes the sharded
+epoch must reproduce the single-device trajectory to float tolerance
+(psum changes the summation order only).
+
+Runs on the 8-virtual-CPU-device mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from llp_tpu.core import build_graph
+from llp_tpu.data.synthetic import community_features, sbm_graph
+from llp_tpu.parallel.epoch import (
+    make_sharded_student_epoch_fn,
+    make_sharded_teacher_epoch_fn,
+)
+from llp_tpu.sample.negative import edge_hash_keys
+from llp_tpu.train.student import init_student_params, make_student_epoch_fn
+from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+NDEV = 8
+
+
+def _mesh():
+    return Mesh(np.asarray(jax.devices()[:NDEV]), ("data",))
+
+
+def _problem(n=200, k=4, deg=6.0, d=32, seed=5):
+    ei, comm = sbm_graph(n, k, deg, seed=seed)
+    x = jnp.asarray(community_features(comm, d, kind="gauss", seed=seed))
+    g = build_graph(ei, n)  # default pad multiple 128 divides the 8-mesh
+    pos = jnp.asarray(ei.T.astype(np.int32))
+    keys = jnp.asarray(edge_hash_keys(ei, n))
+    return g, x, pos, keys
+
+
+def _copy(t):
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a).copy(), t)
+
+
+def _assert_trees_close(a, b, rtol=2e-4, atol=2e-5):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol
+        )
+
+
+def _run_epochs(epoch_fn, tx, params, args, n_epochs, seed0=100):
+    params = _copy(params)
+    opt_state = tx.init(params)
+    losses = []
+    for ep in range(n_epochs):
+        params, opt_state, loss = epoch_fn(
+            params, opt_state, jax.random.PRNGKey(seed0 + ep), *args
+        )
+        losses.append(float(loss))
+    return params, losses
+
+
+def _teacher_kwargs(g, pos, **over):
+    kw = dict(
+        encoder="sage", predictor_mode="mlp", dropout=0.0,
+        num_nodes=g.num_nodes, num_pos_edges=int(pos.shape[0]),
+        link_batch_size=256, neg_mode="dense", lr=0.01,
+    )
+    kw.update(over)
+    return kw
+
+
+@pytest.mark.parametrize(
+    "encoder,conv,neg_mode",
+    [
+        ("sage", "sage", "dense"),
+        ("sage", "sage_updated", "uniform"),
+        ("gcn", "sage", "dense"),
+    ],
+)
+def test_sharded_teacher_epoch_matches_single_device(encoder, conv, neg_mode):
+    g, x, pos, keys = _problem()
+    kw = _teacher_kwargs(g, pos, encoder=encoder, conv=conv, neg_mode=neg_mode)
+    ref_fn, tx = make_teacher_epoch_fn(**kw, spmm_impl="xla")
+    sh_fn, _ = make_sharded_teacher_epoch_fn(_mesh(), **kw)
+    params = init_teacher_params(
+        jax.random.PRNGKey(0), encoder=encoder, in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, pos, keys), 2)
+    p_sh, l_sh = _run_epochs(sh_fn, tx, params, (g, x, pos, keys), 2)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_sh, p_ref)
+
+
+def test_sharded_teacher_segsum_layouts_path():
+    from llp_tpu.ops.pallas.segsum_kernel import build_shard_layouts
+
+    g, x, pos, keys = _problem()
+    kw = _teacher_kwargs(g, pos)
+    ref_fn, tx = make_teacher_epoch_fn(**kw, spmm_impl="xla")
+    sh_fn, _ = make_sharded_teacher_epoch_fn(
+        _mesh(), **kw, segsum_layouts=build_shard_layouts(g, NDEV)
+    )
+    params = init_teacher_params(
+        jax.random.PRNGKey(3), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, pos, keys), 2)
+    p_sh, l_sh = _run_epochs(sh_fn, tx, params, (g, x, pos, keys), 2)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_sh, p_ref)
+
+
+def test_sharded_teacher_epochs_per_call_fusion():
+    g, x, pos, keys = _problem()
+    kw = _teacher_kwargs(g, pos)
+    sh_fn, tx = make_sharded_teacher_epoch_fn(_mesh(), **kw)
+    blk_fn, _ = make_sharded_teacher_epoch_fn(_mesh(), **kw, epochs_per_call=2)
+    params = init_teacher_params(
+        jax.random.PRNGKey(1), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    p1, l1 = _run_epochs(sh_fn, tx, params, (g, x, pos, keys), 2)
+    p2 = _copy(params)
+    opt2 = tx.init(p2)
+    ekeys = jnp.stack([jax.random.PRNGKey(100), jax.random.PRNGKey(101)])
+    p2, opt2, l2 = blk_fn(p2, opt2, ekeys, g, x, pos, keys)
+    np.testing.assert_allclose(np.asarray(l2), l1, rtol=1e-5, atol=1e-6)
+    _assert_trees_close(p2, p1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_teacher_nondivisible_batch_runs_and_learns():
+    # b=60 is not a multiple of 8 -> padded to 64 local slices (masked);
+    # batch composition then differs from the single-device epoch, so this
+    # gates behavior (finite, optimizes), not parity.
+    g, x, pos, keys = _problem()
+    kw = _teacher_kwargs(g, pos, link_batch_size=60)
+    sh_fn, tx = make_sharded_teacher_epoch_fn(_mesh(), **kw)
+    params = init_teacher_params(
+        jax.random.PRNGKey(2), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    _, losses = _run_epochs(sh_fn, tx, params, (g, x, pos, keys), 4)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def _student_kwargs(g, pos, **over):
+    kw = dict(
+        num_nodes=g.num_nodes, num_pos_edges=int(pos.shape[0]),
+        link_batch_size=256, node_batch_size=64, predictor_mode="mlp",
+        dropout=0.0, lr=0.01, true_label=0.5, kd_rm=0.1, kd_lm=0.1,
+        llp_d=1.0, llp_r=1.0, margin=0.1, rw_step=2, hops=2, ns_rate=1,
+        neg_mode="dense",
+    )
+    kw.update(over)
+    return kw
+
+
+def _student_setup(g, x, hidden=32):
+    t_h = jnp.asarray(
+        np.random.default_rng(0).normal(size=(g.num_nodes, hidden)), jnp.float32
+    )
+    teacher = init_teacher_params(
+        jax.random.PRNGKey(9), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=hidden, num_layers=2, predictor_mode="mlp",
+    )
+    params = init_student_params(
+        jax.random.PRNGKey(2), in_channels=int(x.shape[1]),
+        hidden_channels=hidden, num_layers=2, predictor_mode="mlp",
+    )
+    return t_h, teacher["predictor"], params
+
+
+@pytest.mark.parametrize("minibatch", [False, True])
+def test_sharded_student_epoch_matches_single_device(minibatch):
+    g, x, pos, keys = _problem()
+    kw = _student_kwargs(g, pos, minibatch=minibatch)
+    t_h, tpred, params = _student_setup(g, x)
+    ref_fn, tx = make_student_epoch_fn(**kw)
+    sh_fn, _ = make_sharded_student_epoch_fn(_mesh(), **kw)
+    args = (g, x, t_h, tpred, pos, keys)
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, args, 2)
+    p_sh, l_sh = _run_epochs(sh_fn, tx, params, args, 2)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_sh, p_ref)
+
+
+def test_sharded_student_llp_r_chunk_equivalence():
+    g, x, pos, keys = _problem()
+    t_h, tpred, params = _student_setup(g, x)
+    base = _student_kwargs(g, pos)
+    f_all, tx = make_sharded_student_epoch_fn(_mesh(), **base)
+    f_chunk, _ = make_sharded_student_epoch_fn(_mesh(), **base, llp_r_chunk=5)
+    args = (g, x, t_h, tpred, pos, keys)
+    p1, l1 = _run_epochs(f_all, tx, params, args, 1)
+    p2, l2 = _run_epochs(f_chunk, tx, params, args, 1)
+    np.testing.assert_allclose(l2, l1, rtol=1e-5, atol=1e-6)
+    _assert_trees_close(p2, p1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_student_minibatch_batchnorm_rejected():
+    g, x, pos, keys = _problem()
+    with pytest.raises(NotImplementedError):
+        make_sharded_student_epoch_fn(
+            _mesh(), **_student_kwargs(g, pos, minibatch=True,
+                                       norm_type="batch")
+        )
