@@ -511,3 +511,47 @@ def test_sharded_topk_partners_matches_single_device():
     full = np.asarray(h)
     for r in range(len(np.asarray(qi))):
         assert np.asarray(qi)[r] not in np.asarray(ids)[r]
+
+
+def test_pmean_gradient_semantics_vs_ground_truth():
+    """Pins the gradient rule every sharded train step relies on: when the
+    per-device loss is the REPLICATED (fully psum'd) scalar, pmean of the
+    per-device grad pieces — NOT psum — equals jax.grad of the equivalent
+    single-device loss, under check_vma=False and =True alike (the ndev
+    replicated loss copies inject ndev cotangents, so psum is ndev× too
+    large; the error is invisible to Adam's scale invariance except at the
+    clip boundary, which is how it originally slipped through)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(32, 6)), jnp.float32)  # batch sharded
+    fmask = jnp.asarray(rng.random(32) > 0.3)
+
+    def ref_loss(w):
+        elt = jnp.tanh(v @ w)
+        m = fmask.astype(jnp.float32)
+        return jnp.sum(elt * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    g_true = np.asarray(jax.grad(ref_loss)(w))
+
+    def body(w, v_loc, m_loc):
+        def loss_fn(w):
+            m = m_loc.astype(jnp.float32)
+            num = jax.lax.psum(jnp.sum(jnp.tanh(v_loc @ w) * m), "data")
+            den = jax.lax.psum(jnp.sum(m), "data")
+            return num / jnp.maximum(den, 1.0)
+
+        loss, g = jax.value_and_grad(loss_fn)(w)
+        return loss, jax.lax.pmean(g, "data")
+
+    for cv in (False, True):
+        f = shard_map(
+            body, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()), check_vma=cv,
+        )
+        loss, g = f(w, v, fmask)
+        np.testing.assert_allclose(float(loss), float(ref_loss(w)), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), g_true, rtol=1e-5, atol=1e-7)
