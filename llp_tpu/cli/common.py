@@ -56,6 +56,13 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
              "(shard_map whole-epoch programs; pair with --device cpu:N "
              "for a virtual CPU mesh)",
     )
+    p.add_argument(
+        "--sharding", type=str, default="dp", choices=["dp", "halo"],
+        help="multi-device execution model (with --num_devices > 1): "
+             "'dp' replicates node features and shards edges+batches; "
+             "'halo' shards the feature matrix by node owner with boundary "
+             "exchange (teacher SAGE only)",
+    )
 
 
 def setup_device(spec: str) -> None:

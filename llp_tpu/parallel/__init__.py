@@ -5,6 +5,7 @@ from llp_tpu.parallel.sharded import (
     make_sharded_student_step,
 )
 from llp_tpu.parallel.epoch import (
+    make_halo_teacher_epoch_fn,
     make_sharded_student_epoch_fn,
     make_sharded_teacher_epoch_fn,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "make_sharded_student_step",
     "make_sharded_teacher_epoch_fn",
     "make_sharded_student_epoch_fn",
+    "make_halo_teacher_epoch_fn",
     "make_sharded_hits_auc",
     "build_halo_partition",
     "make_halo_spmm",

@@ -302,6 +302,195 @@ def make_sharded_teacher_epoch_fn(
     return epoch_fn, tx
 
 
+def make_halo_teacher_epoch_fn(
+    mesh: Mesh,
+    part,
+    *,
+    conv: str = "sage",
+    predictor_mode: str = "mlp",
+    dropout: float = 0.5,
+    num_nodes: int,
+    num_pos_edges: int,
+    link_batch_size: int,
+    neg_mode: str = "dense",
+    lr: float = 0.005,
+    norm_type: str = "none",
+    compute_dtype="float32",
+    epochs_per_call: int = 1,
+    axis: str = "data",
+):
+    """FEATURE-SHARDED whole-epoch teacher training (halo exchange).
+
+    The third multi-chip execution model: where
+    :func:`make_sharded_teacher_epoch_fn` replicates node features and
+    partitions edges (right when ``x`` fits every chip), this one shards the
+    feature matrix itself by node owner (``llp_tpu.parallel.halo`` 1-D range
+    partition) — the regime where N·D no longer fits one chip.  Per layer the
+    encoder runs fully node-sharded (one ``all_to_all`` halo exchange per
+    aggregation, overlapped with the local-edge segment-sum); only the narrow
+    (N, H) embeddings ``all_gather`` for edge scoring.  H << D is exactly
+    where this pays.
+
+    Driver-facing contract mirrors the other epoch functions:
+    ``epoch_fn(params, opt_state, key, x_sharded, in_degree_sharded,
+    pos_edges, neg_keys)`` with ``x_sharded``/``in_degree_sharded`` padded by
+    :func:`llp_tpu.parallel.halo.pad_nodes`.  RNG discipline matches the
+    single-device epoch (same keys/draw shapes; negatives drawn full-batch
+    and sliced locally), so with ``dropout=0`` and a mesh-divisible batch a
+    halo epoch reproduces the single-device trajectory to float tolerance
+    (test-gated).  Encoder dropout masks are decorrelated across devices by
+    folding in the device index (node rows differ per device).
+
+    SAGE only (both conv variants): GCN's symmetric normalization needs the
+    global degree products — representable but not built; MLP has no
+    aggregation to shard (use the DP epoch).  ``norm_type='batch'`` needs
+    cross-device batch statistics and is rejected.
+    """
+    import numpy as np
+    from types import SimpleNamespace
+
+    from llp_tpu.parallel.halo import halo_spmm_local, plan_args
+
+    if norm_type == "batch":
+        raise NotImplementedError(
+            "halo-sharded training + batch-norm needs cross-device batch "
+            "statistics; use norm_type='none'/'layer'"
+        )
+    ndev = int(mesh.shape[axis])
+    e = num_pos_edges
+    b = min(link_batch_size, e)
+    steps = -(-e // b)
+    b_loc = -(-b // ndev)
+    b_pad = b_loc * ndev
+
+    tx, _ = adam_init({}, lr)
+    cdtype = resolve_dtype(compute_dtype)
+    n_plan = len(plan_args(part))
+    # Per-device message-tensor rows the halo SpMM materializes (local +
+    # remote-sender edge slots) — the memory side of the hoist gate.
+    e_loc = int(part.loc_send.shape[1] + part.rem_send.shape[1])
+
+    def epoch_body(params, opt_state, key, x, in_deg, pos_edges, neg_keys,
+                   *plan):
+        me = jax.lax.axis_index(axis)
+        # plan slices keep their leading shard dim of 1 (halo_spmm_local
+        # drops it itself).  The model code only touches the graph through
+        # spmm(graph, ...) — routed to the injected impl — and (for the
+        # hoisted sage_updated bias term) graph.in_degree, which must be the
+        # device's own node rows: a shim carrying the sharded degree suffices.
+        graph_shim = SimpleNamespace(in_degree=in_deg)
+
+        def impl(g, feats, reduce, edge_weight):
+            if edge_weight is not None:
+                raise ValueError("edge_weight is not supported in the halo epoch")
+            return halo_spmm_local(
+                part, axis, feats, in_deg, *plan, reduce=reduce
+            )
+
+        if x.dtype == jnp.float32:
+            x = x.astype(cdtype)
+        conv0 = params["encoder"]["convs"][0]
+        h_out = (conv0["lin_l"] if "lin_l" in conv0 else conv0["lin"])["w"].shape[1]
+        x_agg = None
+        if should_hoist_first_agg(
+            "sage", conv, int(x.shape[1]), int(h_out), e_loc,
+            steps * epochs_per_call,
+        ):
+            x_agg = precompute_first_aggregation(
+                "sage", graph_shim, x, conv=conv, impl=impl
+            )
+
+        def batch_loss(params, rng, edges_loc, mask_loc):
+            params = cast_params(params, cdtype)
+            k_drop, k_pred, k_neg = jax.random.split(rng, 3)
+            h = apply_encoder(
+                "sage", params["encoder"], graph_shim, x,
+                dropout=dropout, train=True,
+                rng=jax.random.fold_in(k_drop, me), conv=conv,
+                norm_type=norm_type, impl=impl, x_agg=x_agg,
+            )
+            # Only the narrow embeddings replicate, for pairwise scoring.
+            h_full = jax.lax.all_gather(h, axis, tiled=True)  # (P*n_per, H)
+            if neg_mode == "dense":
+                neg = sample_negative_edges(k_neg, neg_keys, b_pad, num_nodes)
+            else:
+                neg = sample_uniform_edges(k_neg, b_pad, num_nodes)
+            neg_src = jax.lax.dynamic_slice_in_dim(neg[0], me * b_loc, b_loc)
+            neg_dst = jax.lax.dynamic_slice_in_dim(neg[1], me * b_loc, b_loc)
+            src = jnp.concatenate([edges_loc[:, 0], neg_src])
+            dst = jnp.concatenate([edges_loc[:, 1], neg_dst])
+            out = apply_link_predictor(
+                params["predictor"],
+                jnp.take(h_full, src, axis=0),
+                jnp.take(h_full, dst, axis=0),
+                mode=predictor_mode, dropout=dropout, train=True, rng=k_pred,
+            )
+            labels = jnp.concatenate([jnp.ones((b_loc,)), jnp.zeros((b_loc,))])
+            fmask = jnp.concatenate([mask_loc, mask_loc]).astype(jnp.float32)
+            return _psum_masked_mean(_bce_elements(out, labels), fmask, axis)
+
+        def one_epoch(carry, ekey):
+            params, opt_state = carry
+            k_perm, k_steps = jax.random.split(ekey)
+            perm = jax.random.permutation(k_perm, e)
+            pad = steps * b - e
+            perm = jnp.concatenate([perm, jnp.full((pad,), e, perm.dtype)])
+            perm = perm.reshape(steps, b)
+            if b_pad > b:
+                perm = jnp.concatenate(
+                    [perm, jnp.full((steps, b_pad - b), e, perm.dtype)], axis=1
+                )
+
+            def step(carry, inp):
+                params, opt_state, tl, tn = carry
+                idx, i = inp
+                idx_loc = jax.lax.dynamic_slice_in_dim(idx, me * b_loc, b_loc)
+                mask_loc = idx_loc < e
+                edges_loc = pos_edges[jnp.clip(idx_loc, 0, e - 1)]
+                rng = jax.random.fold_in(k_steps, i)
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    params, rng, edges_loc, mask_loc
+                )
+                # pmean, not psum — the replicated loss makes psum ndev×
+                # the true gradient (see the DP teacher epoch above).
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.pmean(g, axis), grads
+                )
+                grads = clip_by_group_norm(grads, 1.0)
+                params, opt_state = adam_update(tx, grads, opt_state, params)
+                n = jax.lax.psum(jnp.sum(mask_loc.astype(jnp.float32)), axis)
+                return (params, opt_state, tl + loss * n, tn + n), None
+
+            (params, opt_state, tl, tn), _ = jax.lax.scan(
+                step,
+                (params, opt_state, jnp.float32(0.0), jnp.float32(0.0)),
+                (perm, jnp.arange(steps)),
+            )
+            return (params, opt_state), tl / jnp.maximum(tn, 1.0)
+
+        keys = key[None] if epochs_per_call == 1 else key
+        (params, opt_state), losses = jax.lax.scan(
+            one_epoch, (params, opt_state), keys
+        )
+        return params, opt_state, losses[0] if epochs_per_call == 1 else losses
+
+    def _run(params, opt_state, key, x_sharded, in_deg_sharded, pos_edges,
+             neg_keys):
+        mapped = shard_map(
+            epoch_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(), P())
+            + (P(axis),) * n_plan,
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return mapped(params, opt_state, key, x_sharded, in_deg_sharded,
+                      pos_edges, neg_keys, *plan_args(part))
+
+    epoch_fn = jax.jit(_run, donate_argnums=(0, 1))
+    return epoch_fn, tx
+
+
 def make_sharded_student_epoch_fn(
     mesh: Mesh,
     *,

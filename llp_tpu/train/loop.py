@@ -312,6 +312,44 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             block_fn, _ = make_teacher_epoch_fn(
                 **teacher_kwargs, spmm_impl=cfg.spmm_impl, epochs_per_call=block
             )
+    elif cfg.sharding == "halo":
+        # Feature-sharded training: node features partitioned by owner with
+        # halo boundary exchange (teacher SAGE only — the N·D-doesn't-fit
+        # regime). Eval stays the single replicated program on the original
+        # (unpadded) features.
+        if cfg.encoder != "sage":
+            raise ValueError(
+                "sharding='halo' supports the SAGE teacher encoder only "
+                "(GCN needs global degree products; MLP has no aggregation "
+                "to shard — use sharding='dp')"
+            )
+        from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
+        from llp_tpu.parallel.halo import build_halo_partition, pad_nodes
+
+        part = build_halo_partition(data["graph"], cfg.num_devices)
+        x_sh = pad_nodes(data["x"], part)
+        deg_sh = pad_nodes(
+            np.asarray(jax.device_get(data["graph"].in_degree)), part
+        )
+        halo_kwargs = {k: v for k, v in teacher_kwargs.items() if k != "encoder"}
+
+        def _adapt(fn):
+            # Same driver-facing signature as the other epoch functions; the
+            # (fixed per run) graph/x args are replaced by their sharded
+            # counterparts captured here.
+            def epoch(params, opt_state, key, graph, x, pos_edges, neg_keys):
+                return fn(params, opt_state, key, x_sh, deg_sh, pos_edges,
+                          neg_keys)
+
+            return epoch
+
+        halo_fn, tx = make_halo_teacher_epoch_fn(mesh, part, **halo_kwargs)
+        epoch_fn = _adapt(halo_fn)
+        if block > 1:
+            hb_fn, _ = make_halo_teacher_epoch_fn(
+                mesh, part, **halo_kwargs, epochs_per_call=block
+            )
+            block_fn = _adapt(hb_fn)
     else:
         from llp_tpu.parallel.epoch import make_sharded_teacher_epoch_fn
 
@@ -560,6 +598,13 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 **student_kwargs, epochs_per_call=block
             )
     else:
+        if cfg.sharding == "halo":
+            raise ValueError(
+                "sharding='halo' applies to the GNN teacher; the MLP student "
+                "has no neighborhood aggregation to shard — use "
+                "sharding='dp' (its minibatch mode already shards the "
+                "gathered forward)"
+            )
         from llp_tpu.parallel.epoch import make_sharded_student_epoch_fn
 
         epoch_fn, tx = make_sharded_student_epoch_fn(mesh, **student_kwargs)

@@ -60,10 +60,15 @@ class CommonConfig:
     resume: bool = False       # resume from the last snapshot if present
     profile_dir: str = ""      # jax.profiler trace output ("" = off)
     # Data-parallel training over the first N local devices (1 = single
-    # device). Runs the whole-epoch program under shard_map on a 1-D mesh:
-    # edges + batches sharded, params replicated, psum'd grads (see
-    # llp_tpu.parallel.epoch). Eval stays a single replicated program.
+    # device). Runs the whole-epoch program under shard_map on a 1-D mesh
+    # (see llp_tpu.parallel.epoch). Eval stays a single replicated program.
     num_devices: int = 1
+    # Multi-device execution model when num_devices > 1:
+    #   "dp"   — node features replicated, edges + batches sharded (right
+    #            when x fits every chip).
+    #   "halo" — node features SHARDED by owner with halo boundary exchange
+    #            (teacher SAGE only; the N·D-doesn't-fit regime).
+    sharding: str = "dp"
 
     @property
     def hits_ks(self) -> Tuple[int, ...]:
@@ -81,6 +86,8 @@ class CommonConfig:
         resolve_dtype(self.compute_dtype)  # validate early
         if self.num_devices < 1:
             raise ValueError(f"num_devices must be >= 1, got {self.num_devices}")
+        if self.sharding not in ("dp", "halo"):
+            raise ValueError(f"sharding must be 'dp' or 'halo', got {self.sharding!r}")
         if self.epochs_per_jit > 1 and max(self.eval_steps, 1) % self.epochs_per_jit:
             raise ValueError(
                 f"epochs_per_jit={self.epochs_per_jit} must divide "

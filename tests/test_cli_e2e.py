@@ -106,3 +106,33 @@ def test_cli_data_parallel_num_devices(tmp_path):
     assert os.path.exists(
         tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_KD_transductive.txt"
     )
+
+
+def test_cli_halo_sharding(tmp_path):
+    """--sharding=halo trains the teacher feature-sharded end-to-end; the
+    student rejects it with a pointer to dp."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    common = [
+        "--datasets=synthetic:sbm:200:4:6.0:7",
+        f"--dataset_dir={tmp_path}",
+        f"--save_dir={tmp_path}/saved",
+        f"--results_dir={tmp_path}/results",
+        "--hidden_channels=32",
+        "--epochs=4",
+        "--eval_steps=2",
+        "--patience=50",
+        "--device=cpu",
+        "--log_steps=100",
+        "--num_devices=8",
+        "--sharding=halo",
+    ]
+    teacher_main(common + ["--runs=1", "--batch_size=1024"])
+    assert os.path.exists(
+        tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_supervised_transductive.txt"
+    )
+    with pytest.raises(ValueError, match="halo"):
+        student_main(common + ["--runs=1", "--link_batch_size=1024"])

@@ -213,3 +213,68 @@ def test_sharded_student_minibatch_batchnorm_rejected():
             _mesh(), **_student_kwargs(g, pos, minibatch=True,
                                        norm_type="batch")
         )
+
+
+def _halo_setup(g, x):
+    from llp_tpu.parallel.halo import build_halo_partition, pad_nodes
+
+    part = build_halo_partition(g, NDEV)
+    x_sh = pad_nodes(x, part)
+    deg_sh = pad_nodes(np.asarray(jax.device_get(g.in_degree)), part)
+    return part, x_sh, deg_sh
+
+
+@pytest.mark.parametrize("conv,n", [("sage", 200), ("sage_updated", 201)])
+def test_halo_teacher_epoch_matches_single_device(conv, n):
+    """Feature-sharded (halo) whole-epoch training reproduces the
+    single-device trajectory (n=201 covers padded owner rows)."""
+    from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
+
+    g, x, pos, keys = _problem(n=n)
+    kw = _teacher_kwargs(g, pos, conv=conv)
+    ref_fn, tx = make_teacher_epoch_fn(**kw, spmm_impl="xla")
+    part, x_sh, deg_sh = _halo_setup(g, x)
+    kw.pop("encoder")
+    halo_fn, _ = make_halo_teacher_epoch_fn(_mesh(), part, **kw)
+    params = init_teacher_params(
+        jax.random.PRNGKey(4), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, pos, keys), 2)
+    p_halo, l_halo = _run_epochs(
+        halo_fn, tx, params, (x_sh, deg_sh, pos, keys), 2
+    )
+    np.testing.assert_allclose(l_halo, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_halo, p_ref)
+
+
+def test_halo_teacher_epoch_fusion_matches_per_epoch():
+    from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
+
+    g, x, pos, keys = _problem()
+    kw = _teacher_kwargs(g, pos)
+    kw.pop("encoder")
+    part, x_sh, deg_sh = _halo_setup(g, x)
+    f1, tx = make_halo_teacher_epoch_fn(_mesh(), part, **kw)
+    f2, _ = make_halo_teacher_epoch_fn(_mesh(), part, **kw, epochs_per_call=2)
+    params = init_teacher_params(
+        jax.random.PRNGKey(5), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    p1, l1 = _run_epochs(f1, tx, params, (x_sh, deg_sh, pos, keys), 2)
+    p2 = _copy(params)
+    ekeys = jnp.stack([jax.random.PRNGKey(100), jax.random.PRNGKey(101)])
+    p2, _, l2 = f2(p2, tx.init(p2), ekeys, x_sh, deg_sh, pos, keys)
+    np.testing.assert_allclose(np.asarray(l2), l1, rtol=1e-5, atol=1e-6)
+    _assert_trees_close(p2, p1, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_teacher_epoch_batchnorm_rejected():
+    from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
+
+    g, x, pos, keys = _problem()
+    part, _, _ = _halo_setup(g, x)
+    kw = _teacher_kwargs(g, pos, norm_type="batch")
+    kw.pop("encoder")
+    with pytest.raises(NotImplementedError):
+        make_halo_teacher_epoch_fn(_mesh(), part, **kw)
