@@ -306,6 +306,7 @@ def make_halo_teacher_epoch_fn(
     mesh: Mesh,
     part,
     *,
+    encoder: str = "sage",
     conv: str = "sage",
     predictor_mode: str = "mlp",
     dropout: float = 0.5,
@@ -341,10 +342,15 @@ def make_halo_teacher_epoch_fn(
     (test-gated).  Encoder dropout masks are decorrelated across devices by
     folding in the device index (node rows differ per device).
 
-    SAGE only (both conv variants): GCN's symmetric normalization needs the
-    global degree products — representable but not built; MLP has no
-    aggregation to shard (use the DP epoch).  ``norm_type='batch'`` needs
-    cross-device batch statistics and is rejected.
+    Encoders: SAGE (both conv variants) and GCN.  GCN's symmetric
+    normalization ``1/sqrt(d̂_u d̂_v)`` factors into per-ENDPOINT scalings
+    (``llp_tpu.models.gcn.gcn_norm_coeffs``), all of which are per-node row
+    ops: the sender factor is applied by the owner BEFORE the halo exchange
+    (so exchanged rows arrive pre-scaled), the receiver factor and the
+    analytic self-loop term after — no global degree products ever
+    materialize.  MLP has no aggregation to shard (use the DP epoch).
+    ``norm_type='batch'`` needs cross-device batch statistics and is
+    rejected.
     """
     import numpy as np
     from types import SimpleNamespace
@@ -356,6 +362,14 @@ def make_halo_teacher_epoch_fn(
             "halo-sharded training + batch-norm needs cross-device batch "
             "statistics; use norm_type='none'/'layer'"
         )
+    if encoder not in ("sage", "gcn"):
+        raise ValueError(
+            "halo-sharded training supports the sage/gcn teacher encoders "
+            f"(got {encoder!r}; the MLP has no aggregation to shard — use "
+            "the DP epoch)"
+        )
+    if encoder == "gcn" and norm_type != "none":
+        raise ValueError("the GCN encoder has no inter-layer norms")
     ndev = int(mesh.shape[axis])
     e = num_pos_edges
     b = min(link_batch_size, e)
@@ -393,18 +407,18 @@ def make_halo_teacher_epoch_fn(
         h_out = (conv0["lin_l"] if "lin_l" in conv0 else conv0["lin"])["w"].shape[1]
         x_agg = None
         if should_hoist_first_agg(
-            "sage", conv, int(x.shape[1]), int(h_out), e_loc,
+            encoder, conv, int(x.shape[1]), int(h_out), e_loc,
             steps * epochs_per_call,
         ):
             x_agg = precompute_first_aggregation(
-                "sage", graph_shim, x, conv=conv, impl=impl
+                encoder, graph_shim, x, conv=conv, impl=impl
             )
 
         def batch_loss(params, rng, edges_loc, mask_loc):
             params = cast_params(params, cdtype)
             k_drop, k_pred, k_neg = jax.random.split(rng, 3)
             h = apply_encoder(
-                "sage", params["encoder"], graph_shim, x,
+                encoder, params["encoder"], graph_shim, x,
                 dropout=dropout, train=True,
                 rng=jax.random.fold_in(k_drop, me), conv=conv,
                 norm_type=norm_type, impl=impl, x_agg=x_agg,

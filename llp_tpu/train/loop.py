@@ -314,14 +314,14 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             )
     elif cfg.sharding == "halo":
         # Feature-sharded training: node features partitioned by owner with
-        # halo boundary exchange (teacher SAGE only — the N·D-doesn't-fit
-        # regime). Eval stays the single replicated program on the original
-        # (unpadded) features.
-        if cfg.encoder != "sage":
+        # halo boundary exchange (teacher SAGE/GCN — the N·D-doesn't-fit
+        # regime; GCN's sym-norm factors into per-endpoint scalings so it
+        # shards by node owner too). Eval stays the single replicated
+        # program on the original (unpadded) features.
+        if cfg.encoder not in ("sage", "gcn"):
             raise ValueError(
-                "sharding='halo' supports the SAGE teacher encoder only "
-                "(GCN needs global degree products; MLP has no aggregation "
-                "to shard — use sharding='dp')"
+                "sharding='halo' supports the sage/gcn teacher encoders "
+                "(the MLP has no aggregation to shard — use sharding='dp')"
             )
         from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
         from llp_tpu.parallel.halo import build_halo_partition, pad_nodes
@@ -331,7 +331,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         deg_sh = pad_nodes(
             np.asarray(jax.device_get(data["graph"].in_degree)), part
         )
-        halo_kwargs = {k: v for k, v in teacher_kwargs.items() if k != "encoder"}
+        halo_kwargs = teacher_kwargs
 
         def _adapt(fn):
             # Same driver-facing signature as the other epoch functions; the

@@ -134,5 +134,6 @@ def test_cli_halo_sharding(tmp_path):
     assert os.path.exists(
         tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_supervised_transductive.txt"
     )
+    teacher_main(common + ["--runs=1", "--batch_size=1024", "--encoder=gcn"])
     with pytest.raises(ValueError, match="halo"):
         student_main(common + ["--runs=1", "--link_batch_size=1024"])

@@ -224,20 +224,23 @@ def _halo_setup(g, x):
     return part, x_sh, deg_sh
 
 
-@pytest.mark.parametrize("conv,n", [("sage", 200), ("sage_updated", 201)])
-def test_halo_teacher_epoch_matches_single_device(conv, n):
+@pytest.mark.parametrize(
+    "encoder,conv,n",
+    [("sage", "sage", 200), ("sage", "sage_updated", 201), ("gcn", "sage", 201)],
+)
+def test_halo_teacher_epoch_matches_single_device(encoder, conv, n):
     """Feature-sharded (halo) whole-epoch training reproduces the
-    single-device trajectory (n=201 covers padded owner rows)."""
+    single-device trajectory (n=201 covers padded owner rows; gcn gates the
+    node-sharded factored sym-norm against the replicated one)."""
     from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
 
     g, x, pos, keys = _problem(n=n)
-    kw = _teacher_kwargs(g, pos, conv=conv)
+    kw = _teacher_kwargs(g, pos, encoder=encoder, conv=conv)
     ref_fn, tx = make_teacher_epoch_fn(**kw, spmm_impl="xla")
     part, x_sh, deg_sh = _halo_setup(g, x)
-    kw.pop("encoder")
     halo_fn, _ = make_halo_teacher_epoch_fn(_mesh(), part, **kw)
     params = init_teacher_params(
-        jax.random.PRNGKey(4), encoder="sage", in_channels=int(x.shape[1]),
+        jax.random.PRNGKey(4), encoder=encoder, in_channels=int(x.shape[1]),
         hidden_channels=32, num_layers=2, predictor_mode="mlp",
     )
     p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, pos, keys), 2)
@@ -253,7 +256,6 @@ def test_halo_teacher_epoch_fusion_matches_per_epoch():
 
     g, x, pos, keys = _problem()
     kw = _teacher_kwargs(g, pos)
-    kw.pop("encoder")
     part, x_sh, deg_sh = _halo_setup(g, x)
     f1, tx = make_halo_teacher_epoch_fn(_mesh(), part, **kw)
     f2, _ = make_halo_teacher_epoch_fn(_mesh(), part, **kw, epochs_per_call=2)
@@ -275,6 +277,15 @@ def test_halo_teacher_epoch_batchnorm_rejected():
     g, x, pos, keys = _problem()
     part, _, _ = _halo_setup(g, x)
     kw = _teacher_kwargs(g, pos, norm_type="batch")
-    kw.pop("encoder")
     with pytest.raises(NotImplementedError):
+        make_halo_teacher_epoch_fn(_mesh(), part, **kw)
+
+
+def test_halo_teacher_epoch_mlp_rejected():
+    from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
+
+    g, x, pos, keys = _problem()
+    part, _, _ = _halo_setup(g, x)
+    kw = _teacher_kwargs(g, pos, encoder="mlp")
+    with pytest.raises(ValueError, match="DP epoch"):
         make_halo_teacher_epoch_fn(_mesh(), part, **kw)
