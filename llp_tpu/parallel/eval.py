@@ -69,6 +69,94 @@ def make_sharded_hits_auc(mesh: Mesh, ks: Sequence[int], axis: str = "data"):
     return fn
 
 
+def make_halo_transductive_eval_fn(
+    mesh: Mesh,
+    part,
+    *,
+    encoder: str,
+    conv: str = "sage",
+    predictor_mode: str = "mlp",
+    hits_ks: Sequence[int] = (10, 20, 30, 50),
+    norm_type: str = "none",
+    axis: str = "data",
+):
+    """FEATURE-SHARDED transductive evaluation for the halo training regime.
+
+    When training runs ``--sharding=halo`` it is because the (N, D) feature
+    matrix does not fit one chip — so evaluation cannot run the replicated
+    single-device program either.  This evaluator encodes node-sharded (the
+    same halo-exchange aggregation as ``make_halo_teacher_epoch_fn``, eval
+    mode) and only the narrow (N, H) embeddings leave the shards: scoring and
+    the Hits@K / AUC reductions run on them under GSPMD (XLA inserts
+    the gather collectives).
+
+    Returns jitted ``eval_fn(params, x_sharded, in_degree_sharded, valid_pos,
+    valid_neg, test_pos, test_neg) -> (results, h)`` — the metric/embedding
+    contract of :func:`llp_tpu.evaln.transductive.make_transductive_eval_fn`
+    (reference protocol ``src/train_teacher_gnn.py:76-155``); ``h`` is
+    the (padded-N, H) embedding table reused for the teacher feature
+    export.
+    """
+    from types import SimpleNamespace
+
+    from llp_tpu.models.encoder import apply_encoder
+    from llp_tpu.models.predictor import apply_link_predictor
+    from llp_tpu.ops.metrics import hits_at_k, roc_auc
+    from llp_tpu.parallel.halo import halo_spmm_local, plan_args
+
+    ks = tuple(hits_ks)
+    n_plan = len(plan_args(part))
+
+    def encode_body(params, x, in_deg, *plan):
+        graph_shim = SimpleNamespace(in_degree=in_deg)
+
+        def impl(g, feats, reduce, edge_weight):
+            if edge_weight is not None:
+                raise ValueError("edge_weight is not supported in halo eval")
+            return halo_spmm_local(
+                part, axis, feats, in_deg, *plan, reduce=reduce
+            )
+
+        h = apply_encoder(
+            encoder, params["encoder"], graph_shim, x, train=False,
+            conv=conv, norm_type=norm_type, impl=impl,
+        )
+        if norm_type == "batch":
+            h, _ = h  # eval mode: running buffers used, not updated
+        return h
+
+    def score(params, h, edges):
+        return apply_link_predictor(
+            params["predictor"],
+            jnp.take(h, edges[:, 0], axis=0),
+            jnp.take(h, edges[:, 1], axis=0),
+            mode=predictor_mode,
+            train=False,
+        )
+
+    @jax.jit
+    def eval_fn(params, x_sharded, in_degree_sharded,
+                valid_pos, valid_neg, test_pos, test_neg):
+        h = shard_map(
+            encode_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)) + (P(axis),) * n_plan,
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, x_sharded, in_degree_sharded, *plan_args(part))
+        vp = score(params, h, valid_pos)
+        vn = score(params, h, valid_neg)
+        tp = score(params, h, test_pos)
+        tn = score(params, h, test_neg)
+        results = {}
+        for k in ks:
+            results[f"Hits@{k}"] = (hits_at_k(vp, vn, k), hits_at_k(tp, tn, k))
+        results["AUC"] = (roc_auc(vp, vn), roc_auc(tp, tn))
+        return results, h
+
+    return eval_fn
+
+
 def make_sharded_topk_partners(
     mesh: Mesh,
     *,

@@ -378,6 +378,41 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
             hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl, norm_type=cfg.norm_type,
         )
+        if mesh is not None and cfg.sharding == "halo":
+            # Feature-sharded eval: if (N, D) doesn't fit a chip for training
+            # it doesn't fit for the eval encode either. Encode node-sharded
+            # over the same owner partition; build a second partition for the
+            # use_valedges_as_input message graph when it differs.
+            from llp_tpu.parallel.eval import make_halo_transductive_eval_fn
+
+            eval_kwargs = dict(
+                encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
+                hits_ks=cfg.hits_ks, norm_type=cfg.norm_type,
+            )
+            halo_evals = {
+                id(data["graph"]): (
+                    make_halo_transductive_eval_fn(mesh, part, **eval_kwargs),
+                    x_sh, deg_sh,
+                )
+            }
+            if data["eval_graph"] is not data["graph"]:
+                epart = build_halo_partition(data["eval_graph"], cfg.num_devices)
+                halo_evals[id(data["eval_graph"])] = (
+                    make_halo_transductive_eval_fn(mesh, epart, **eval_kwargs),
+                    pad_nodes(data["x"], epart),
+                    pad_nodes(
+                        np.asarray(
+                            jax.device_get(data["eval_graph"].in_degree)
+                        ),
+                        epart,
+                    ),
+                )
+
+            def eval_fn(params, graph, x, vp, vn, tp, tn):
+                fn, xs, ds = halo_evals[id(graph)]
+                results, h = fn(params, xs, ds, vp, vn, tp, tn)
+                return results, h[: graph.num_nodes]
+
         loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = RunLogger(cfg.runs)
 

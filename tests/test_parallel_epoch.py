@@ -281,6 +281,43 @@ def test_halo_teacher_epoch_batchnorm_rejected():
         make_halo_teacher_epoch_fn(_mesh(), part, **kw)
 
 
+@pytest.mark.parametrize("encoder", ["sage", "gcn"])
+def test_halo_transductive_eval_matches_single_device(encoder):
+    """Feature-sharded eval (node-sharded encode + GSPMD scoring) returns the
+    single-device metrics and embeddings."""
+    from llp_tpu.evaln.transductive import make_transductive_eval_fn
+    from llp_tpu.parallel.eval import make_halo_transductive_eval_fn
+
+    g, x, pos, keys = _problem(n=201)
+    part, x_sh, deg_sh = _halo_setup(g, x)
+    params = init_teacher_params(
+        jax.random.PRNGKey(6), encoder=encoder, in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    rng = np.random.default_rng(7)
+    mk = lambda m: jnp.asarray(
+        rng.integers(0, g.num_nodes, size=(m, 2)), jnp.int32
+    )
+    vp, vn, tp, tn = mk(40), mk(64), mk(40), mk(64)
+    ks = (10, 20)
+    ref_fn = make_transductive_eval_fn(
+        encoder=encoder, predictor_mode="mlp", hits_ks=ks, spmm_impl="xla"
+    )
+    halo_fn = make_halo_transductive_eval_fn(
+        _mesh(), part, encoder=encoder, predictor_mode="mlp", hits_ks=ks
+    )
+    r_ref, h_ref = ref_fn(params, g, x, vp, vn, tp, tn)
+    r_halo, h_halo = halo_fn(params, x_sh, deg_sh, vp, vn, tp, tn)
+    for k in r_ref:
+        np.testing.assert_allclose(
+            np.asarray(r_halo[k]), np.asarray(r_ref[k]), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_halo)[: g.num_nodes], np.asarray(h_ref), rtol=2e-4,
+        atol=2e-5,
+    )
+
+
 def test_halo_teacher_epoch_mlp_rejected():
     from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
 
