@@ -104,6 +104,32 @@ def _make_local_spmm(axis: str, local_sum=None, lay=()):
     return impl_fn
 
 
+def table_gather(shard, idx, n_per: int, axis: str):
+    """Distributed embedding-table lookup: each device gathers ITS OWN (B,)
+    row indices from an owner-sharded (P·n_per, D) table.
+
+    The classic TPU sharded-table pattern: ``all_gather`` the (per-device,
+    generally different) index vectors, every device gathers the rows it
+    owns for ALL requesters (clipped local coords, masked elsewhere), and a
+    ``psum_scatter`` sums the owner contributions while handing each device
+    only its own (B, D) block.  This is the multi-chip analogue of the
+    reference's CPU-feature minibatch gather (``src/main.py:96``): the
+    feature matrix no chip can hold alone lives row-partitioned across the
+    mesh instead of on the host, and rows move over ICI.
+
+    ``idx`` is 1-D int32, values in [0, num_nodes); call inside
+    ``shard_map``.  Works for replicated indices too (every device then
+    receives the same gather).
+    """
+    all_idx = jax.lax.all_gather(idx.astype(jnp.int32), axis, tiled=True)
+    me = jax.lax.axis_index(axis)
+    loc = all_idx - me.astype(jnp.int32) * n_per
+    valid = (loc >= 0) & (loc < n_per)
+    rows = jnp.take(shard, jnp.clip(loc, 0, n_per - 1), axis=0)
+    rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+    return jax.lax.psum_scatter(rows, axis, scatter_dimension=0, tiled=True)
+
+
 def _psum_masked_mean(elt, fmask, axis):
     """Global masked mean from per-device pieces — identical to the
     single-device ``_masked_mean`` (denominator floored at 1)."""
@@ -531,6 +557,7 @@ def make_sharded_student_epoch_fn(
     compute_dtype="float32",
     epochs_per_call: int = 1,
     llp_r_chunk: int = 0,
+    feature_sharding: str = "replicated",
     axis: str = "data",
 ):
     """Multi-chip version of :func:`llp_tpu.train.student.make_student_epoch_fn`
@@ -540,13 +567,33 @@ def make_sharded_student_epoch_fn(
     the scalable path); losses reduce by psum to the single-device values.
     Context walks and negatives draw with the single-device keys (full
     batch, replicated) and are sliced locally.
+
+    ``feature_sharding='table'`` (requires ``minibatch=True``): the student
+    feature matrix ``x`` and the teacher embedding table ``t_h`` arrive
+    OWNER-SHARDED — padded to P·ceil(N/P) rows (``pad_nodes``-style) and row-
+    partitioned across the mesh — and every feature/teacher gather goes
+    through :func:`table_gather` (masked local gather + psum).  This is the
+    N·D-doesn't-fit regime for the student: the reference keeps the huge
+    feature matrix on the HOST and gathers per batch (``src/main.py:96``);
+    the TPU-native counterpart keeps it sharded across chips and gathers
+    over ICI.  Trajectory-identical to the replicated epoch (test-gated).
     """
     if minibatch and norm_type == "batch":
         raise NotImplementedError(
             "sharded minibatch + batch-norm needs cross-device batch "
             "statistics; use norm_type='none'/'layer' or full-batch mode"
         )
+    if feature_sharding not in ("replicated", "table"):
+        raise ValueError(f"unknown feature_sharding {feature_sharding!r}")
+    table = feature_sharding == "table"
+    if table and not minibatch:
+        raise ValueError(
+            "feature_sharding='table' requires minibatch=True: the "
+            "full-batch student forward reads the whole feature matrix "
+            "per step, which is exactly what the sharded table avoids"
+        )
     ndev = int(mesh.shape[axis])
+    n_per_tab = -(-num_nodes // ndev)
     e = num_pos_edges
     bl = min(link_batch_size, e)
     steps = -(-e // bl)
@@ -572,6 +619,12 @@ def make_sharded_student_epoch_fn(
         if t_h.dtype == jnp.float32:
             t_h = t_h.astype(cdtype)
         tpred_c = cast_params(tpred, cdtype)
+        if table:
+            gx = lambda idx: table_gather(x, idx, n_per_tab, axis)
+            gt = lambda idx: table_gather(t_h, idx, n_per_tab, axis)
+        else:
+            gx = lambda idx: jnp.take(x, idx, axis=0)
+            gt = lambda idx: jnp.take(t_h, idx, axis=0)
 
         def batch_loss(params, rng, edges_loc, emask_loc, anchors_full,
                        amask_full):
@@ -610,7 +663,7 @@ def make_sharded_student_epoch_fn(
                 else:
                     targets = jnp.concatenate([src, dst])
                 hrows = apply_mlp(
-                    params["encoder"], jnp.take(x, targets, axis=0),
+                    params["encoder"], gx(targets),
                     dropout=dropout, train=True, rng=k_drop, norm_type=norm_type,
                 )
                 new_norm_state = None
@@ -648,10 +701,8 @@ def make_sharded_student_epoch_fn(
                     mode=predictor_mode, dropout=dropout, train=True,
                     rng=jax.random.fold_in(k_pred, 1),
                 )
-                t_anchor = jnp.take(t_h, samples[:, 0], axis=0)
-                t_ctx = jnp.take(
-                    t_h, samples[:, 1:].reshape(-1), axis=0
-                ).reshape(bn_loc, c, -1)
+                t_anchor = gt(samples[:, 0])
+                t_ctx = gt(samples[:, 1:].reshape(-1)).reshape(bn_loc, c, -1)
                 t_r = jax.lax.stop_gradient(
                     apply_link_predictor(
                         tpred_c, t_anchor[:, None, :], t_ctx,
@@ -821,11 +872,12 @@ def make_sharded_student_epoch_fn(
 
     def _run(params, opt_state, key, graph, x, t_h, tpred, pos_edges, neg_keys):
         _check_divisible(graph, ndev)
+        feat_spec = P(axis) if table else P()
         mapped = shard_map(
             epoch_body,
             mesh=mesh,
             in_specs=(P(), P(), P(), _graph_specs(graph, axis),
-                      P(), P(), P(), P(), P()),
+                      feat_spec, feat_spec, P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )

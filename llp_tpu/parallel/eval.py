@@ -157,6 +157,71 @@ def make_halo_transductive_eval_fn(
     return eval_fn
 
 
+def make_table_transductive_eval_fn(
+    mesh: Mesh,
+    *,
+    predictor_mode: str = "mlp",
+    hits_ks: Sequence[int] = (10, 20, 30, 50),
+    norm_type: str = "none",
+    axis: str = "data",
+):
+    """Transductive evaluation for the TABLE-SHARDED student (MLP encoder,
+    owner-sharded feature matrix — the huge-x regime of
+    ``make_sharded_student_epoch_fn(feature_sharding='table')``).
+
+    The MLP encode is embarrassingly row-parallel, so each device encodes
+    only its own feature rows; scoring and Hits@K/AUC run on the narrow
+    (N, H) embeddings under GSPMD.  Returns jitted ``eval_fn(params,
+    x_sharded, valid_pos, valid_neg, test_pos, test_neg) -> (results, h)``
+    with the metric contract of
+    :func:`llp_tpu.evaln.transductive.make_transductive_eval_fn`.
+    """
+    from llp_tpu.models.encoder import apply_encoder
+    from llp_tpu.models.predictor import apply_link_predictor
+    from llp_tpu.ops.metrics import hits_at_k, roc_auc
+
+    ks = tuple(hits_ks)
+
+    def encode_body(params, x):
+        h = apply_encoder(
+            "mlp", params["encoder"], None, x, train=False,
+            norm_type=norm_type,
+        )
+        if norm_type == "batch":
+            h, _ = h  # eval mode: running buffers used, not updated
+        return h
+
+    def score(params, h, edges):
+        return apply_link_predictor(
+            params["predictor"],
+            jnp.take(h, edges[:, 0], axis=0),
+            jnp.take(h, edges[:, 1], axis=0),
+            mode=predictor_mode,
+            train=False,
+        )
+
+    @jax.jit
+    def eval_fn(params, x_sharded, valid_pos, valid_neg, test_pos, test_neg):
+        h = shard_map(
+            encode_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, x_sharded)
+        vp = score(params, h, valid_pos)
+        vn = score(params, h, valid_neg)
+        tp = score(params, h, test_pos)
+        tn = score(params, h, test_neg)
+        results = {}
+        for k in ks:
+            results[f"Hits@{k}"] = (hits_at_k(vp, vn, k), hits_at_k(tp, tn, k))
+        results["AUC"] = (roc_auc(vp, vn), roc_auc(tp, tn))
+        return results, h
+
+    return eval_fn
+
+
 def make_sharded_topk_partners(
     mesh: Mesh,
     *,

@@ -633,20 +633,55 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 **student_kwargs, epochs_per_call=block
             )
     else:
-        if cfg.sharding == "halo":
-            raise ValueError(
-                "sharding='halo' applies to the GNN teacher; the MLP student "
-                "has no neighborhood aggregation to shard — use "
-                "sharding='dp' (its minibatch mode already shards the "
-                "gathered forward)"
-            )
         from llp_tpu.parallel.epoch import make_sharded_student_epoch_fn
 
-        epoch_fn, tx = make_sharded_student_epoch_fn(mesh, **student_kwargs)
-        if block > 1:
-            block_fn, _ = make_sharded_student_epoch_fn(
-                mesh, **student_kwargs, epochs_per_call=block
+        feature_sharding = "replicated"
+        x_tab = t_h_tab = None
+        if cfg.sharding == "halo":
+            # For the MLP student "feature-sharded" means the TABLE: x and
+            # the teacher embeddings live row-partitioned across the mesh
+            # and every gather is a masked-local-gather + psum
+            # (parallel.epoch.table_gather) — the multi-chip counterpart of
+            # the reference's CPU-feature minibatch gather (main.py:96).
+            # There is no neighborhood aggregation to halo-exchange.
+            if not cfg.minibatch:
+                raise ValueError(
+                    "sharding='halo' for the student requires --minibatch: "
+                    "the full-batch forward reads the whole feature matrix "
+                    "per step, which is exactly what the sharded table "
+                    "avoids (use sharding='dp' for full-batch)"
+                )
+            feature_sharding = "table"
+            n_per = -(-n // cfg.num_devices)
+
+            def _pad_rows(arr):
+                a = jnp.asarray(arr)
+                pad = cfg.num_devices * n_per - a.shape[0]
+                if pad == 0:
+                    return a
+                return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+            x_tab = _pad_rows(data["x"])
+            t_h_tab = _pad_rows(t_h)
+
+        def _mk(epochs_per_call=1):
+            fn, tx = make_sharded_student_epoch_fn(
+                mesh, **student_kwargs, feature_sharding=feature_sharding,
+                epochs_per_call=epochs_per_call,
             )
+            if feature_sharding != "table":
+                return fn, tx
+
+            def epoch(params, opt_state, key, graph, x, t_h_, tpred, pos,
+                      negk):
+                return fn(params, opt_state, key, graph, x_tab, t_h_tab,
+                          tpred, pos, negk)
+
+            return epoch, tx
+
+        epoch_fn, tx = _mk()
+        if block > 1:
+            block_fn, _ = _mk(epochs_per_call=block)
     if production:
         eval_fn = make_production_eval_fn(
             encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
@@ -659,6 +694,20 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
             norm_type=cfg.norm_type,
         )
+        if mesh is not None and cfg.sharding == "halo":
+            # Table-sharded x: encode row-parallel over the owner shards
+            # (the replicated eval would materialize the whole matrix).
+            from llp_tpu.parallel.eval import make_table_transductive_eval_fn
+
+            tab_eval = make_table_transductive_eval_fn(
+                mesh, predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
+                norm_type=cfg.norm_type,
+            )
+
+            def eval_fn(params, graph, x, vp, vn, tp, tn):
+                results, h = tab_eval(params, x_tab, vp, vn, tp, tn)
+                return results, h[:n]
+
         loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = RunLogger(cfg.runs)
 

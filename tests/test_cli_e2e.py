@@ -135,5 +135,12 @@ def test_cli_halo_sharding(tmp_path):
         tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_supervised_transductive.txt"
     )
     teacher_main(common + ["--runs=1", "--batch_size=1024", "--encoder=gcn"])
-    with pytest.raises(ValueError, match="halo"):
+    # Student + halo = table-sharded features; requires minibatch.
+    with pytest.raises(ValueError, match="minibatch"):
         student_main(common + ["--runs=1", "--link_batch_size=1024"])
+    student_main(
+        common + ["--runs=1", "--link_batch_size=1024", "--minibatch"]
+    )
+    assert os.path.exists(
+        tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_KD_transductive.txt"
+    )

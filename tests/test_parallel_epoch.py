@@ -206,6 +206,111 @@ def test_sharded_student_llp_r_chunk_equivalence():
     _assert_trees_close(p2, p1, rtol=1e-5, atol=1e-6)
 
 
+def _pad_rows(arr, ndev):
+    a = jnp.asarray(arr)
+    n_per = -(-a.shape[0] // ndev)
+    pad = ndev * n_per - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+
+def test_table_gather_per_device_indices():
+    """Each device receives the gather of ITS OWN index slice (the per-device
+    indices are generally different — a psum of masked local gathers would
+    mix index sets across devices; regression test for that bug)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from llp_tpu.parallel.epoch import table_gather
+
+    rng = np.random.default_rng(3)
+    n, d, b = 201, 16, 5  # b per device
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    n_per = -(-n // NDEV)
+    x_tab = _pad_rows(x, NDEV)
+    idx = jnp.asarray(rng.integers(0, n, size=(NDEV * b,)), jnp.int32)
+
+    def body(xs, i):
+        return table_gather(xs, i, n_per, "data")
+
+    out = jax.jit(
+        lambda xs, i: shard_map(
+            body, mesh=_mesh(), in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )(xs, i)
+    )(x_tab, idx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.take(x, idx, axis=0)), rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+def test_table_student_epoch_matches_single_device():
+    """feature_sharding='table' (owner-sharded x + teacher table, psum
+    gathers) reproduces the single-device minibatch trajectory. n=201 covers
+    padded owner rows."""
+    g, x, pos, keys = _problem(n=201)
+    kw = _student_kwargs(g, pos, minibatch=True)
+    t_h, tpred, params = _student_setup(g, x)
+    ref_fn, tx = make_student_epoch_fn(**kw)
+    tab_fn, _ = make_sharded_student_epoch_fn(
+        _mesh(), **kw, feature_sharding="table"
+    )
+    x_tab, t_h_tab = _pad_rows(x, NDEV), _pad_rows(t_h, NDEV)
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, t_h, tpred, pos, keys), 2)
+    p_tab, l_tab = _run_epochs(
+        tab_fn, tx, params, (g, x_tab, t_h_tab, tpred, pos, keys), 2
+    )
+    np.testing.assert_allclose(l_tab, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_tab, p_ref)
+
+
+def test_table_student_requires_minibatch():
+    g, x, pos, keys = _problem()
+    with pytest.raises(ValueError, match="minibatch"):
+        make_sharded_student_epoch_fn(
+            _mesh(), **_student_kwargs(g, pos, minibatch=False),
+            feature_sharding="table",
+        )
+
+
+def test_table_transductive_eval_matches_single_device():
+    """Row-parallel MLP eval over the owner-sharded table returns the
+    replicated metrics and embeddings."""
+    from llp_tpu.evaln.transductive import make_transductive_eval_fn
+    from llp_tpu.parallel.eval import make_table_transductive_eval_fn
+    from llp_tpu.train.student import init_student_params
+
+    g, x, pos, keys = _problem(n=201)
+    params = init_student_params(
+        jax.random.PRNGKey(8), in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    rng = np.random.default_rng(11)
+    mk = lambda m: jnp.asarray(
+        rng.integers(0, g.num_nodes, size=(m, 2)), jnp.int32
+    )
+    vp, vn, tp, tn = mk(40), mk(64), mk(40), mk(64)
+    ks = (10, 20)
+    ref_fn = make_transductive_eval_fn(
+        encoder="mlp", predictor_mode="mlp", hits_ks=ks
+    )
+    tab_fn = make_table_transductive_eval_fn(
+        _mesh(), predictor_mode="mlp", hits_ks=ks
+    )
+    r_ref, h_ref = ref_fn(params, g, x, vp, vn, tp, tn)
+    r_tab, h_tab = tab_fn(params, _pad_rows(x, NDEV), vp, vn, tp, tn)
+    for k in r_ref:
+        np.testing.assert_allclose(
+            np.asarray(r_tab[k]), np.asarray(r_ref[k]), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_tab)[: g.num_nodes], np.asarray(h_ref), rtol=2e-4,
+        atol=2e-5,
+    )
+
+
 def test_sharded_student_minibatch_batchnorm_rejected():
     g, x, pos, keys = _problem()
     with pytest.raises(NotImplementedError):
