@@ -69,6 +69,62 @@ def make_sharded_hits_auc(mesh: Mesh, ks: Sequence[int], axis: str = "data"):
     return fn
 
 
+def _make_halo_encode(mesh, part, encoder, conv, norm_type, axis):
+    """Node-sharded eval-mode encode over a halo partition: returns
+    ``encode(params, x_sharded, in_degree_sharded) -> h_sharded`` (call under
+    jit; the shard_map is inside)."""
+    from types import SimpleNamespace
+
+    from llp_tpu.models.encoder import apply_encoder
+    from llp_tpu.parallel.halo import halo_spmm_local, plan_args
+
+    n_plan = len(plan_args(part))
+
+    def encode_body(params, x, in_deg, *plan):
+        graph_shim = SimpleNamespace(in_degree=in_deg)
+
+        def impl(g, feats, reduce, edge_weight):
+            if edge_weight is not None:
+                raise ValueError("edge_weight is not supported in halo eval")
+            return halo_spmm_local(
+                part, axis, feats, in_deg, *plan, reduce=reduce
+            )
+
+        h = apply_encoder(
+            encoder, params["encoder"], graph_shim, x, train=False,
+            conv=conv, norm_type=norm_type, impl=impl,
+        )
+        if norm_type == "batch":
+            h, _ = h  # eval mode: running buffers used, not updated
+        return h
+
+    def encode(params, x_sharded, in_degree_sharded):
+        return shard_map(
+            encode_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)) + (P(axis),) * n_plan,
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, x_sharded, in_degree_sharded, *plan_args(part))
+
+    return encode
+
+
+def _make_score(predictor_mode):
+    from llp_tpu.models.predictor import apply_link_predictor
+
+    def score(params, h, edges):
+        return apply_link_predictor(
+            params["predictor"],
+            jnp.take(h, edges[:, 0], axis=0),
+            jnp.take(h, edges[:, 1], axis=0),
+            mode=predictor_mode,
+            train=False,
+        )
+
+    return score
+
+
 def make_halo_transductive_eval_fn(
     mesh: Mesh,
     part,
@@ -97,53 +153,16 @@ def make_halo_transductive_eval_fn(
     the (padded-N, H) embedding table reused for the teacher feature
     export.
     """
-    from types import SimpleNamespace
-
-    from llp_tpu.models.encoder import apply_encoder
-    from llp_tpu.models.predictor import apply_link_predictor
-    from llp_tpu.ops.metrics import hits_at_k, roc_auc
-    from llp_tpu.parallel.halo import halo_spmm_local, plan_args
-
+    encode = _make_halo_encode(mesh, part, encoder, conv, norm_type, axis)
+    score = _make_score(predictor_mode)
     ks = tuple(hits_ks)
-    n_plan = len(plan_args(part))
 
-    def encode_body(params, x, in_deg, *plan):
-        graph_shim = SimpleNamespace(in_degree=in_deg)
-
-        def impl(g, feats, reduce, edge_weight):
-            if edge_weight is not None:
-                raise ValueError("edge_weight is not supported in halo eval")
-            return halo_spmm_local(
-                part, axis, feats, in_deg, *plan, reduce=reduce
-            )
-
-        h = apply_encoder(
-            encoder, params["encoder"], graph_shim, x, train=False,
-            conv=conv, norm_type=norm_type, impl=impl,
-        )
-        if norm_type == "batch":
-            h, _ = h  # eval mode: running buffers used, not updated
-        return h
-
-    def score(params, h, edges):
-        return apply_link_predictor(
-            params["predictor"],
-            jnp.take(h, edges[:, 0], axis=0),
-            jnp.take(h, edges[:, 1], axis=0),
-            mode=predictor_mode,
-            train=False,
-        )
+    from llp_tpu.ops.metrics import hits_at_k, roc_auc
 
     @jax.jit
     def eval_fn(params, x_sharded, in_degree_sharded,
                 valid_pos, valid_neg, test_pos, test_neg):
-        h = shard_map(
-            encode_body,
-            mesh=mesh,
-            in_specs=(P(), P(axis), P(axis)) + (P(axis),) * n_plan,
-            out_specs=P(axis),
-            check_vma=False,
-        )(params, x_sharded, in_degree_sharded, *plan_args(part))
+        h = encode(params, x_sharded, in_degree_sharded)
         vp = score(params, h, valid_pos)
         vn = score(params, h, valid_neg)
         tp = score(params, h, test_pos)
@@ -153,6 +172,75 @@ def make_halo_transductive_eval_fn(
             results[f"Hits@{k}"] = (hits_at_k(vp, vn, k), hits_at_k(tp, tn, k))
         results["AUC"] = (roc_auc(vp, vn), roc_auc(tp, tn))
         return results, h
+
+    return eval_fn
+
+
+def make_halo_production_eval_fn(
+    mesh: Mesh,
+    val_part,
+    inf_part,
+    *,
+    encoder: str,
+    conv: str = "sage",
+    predictor_mode: str = "mlp",
+    hits_ks: Sequence[int] = (10, 20, 30, 50),
+    norm_type: str = "none",
+    axis: str = "data",
+):
+    """FEATURE-SHARDED production (unseen-node) evaluation.
+
+    The halo counterpart of
+    :func:`llp_tpu.evaln.production.make_production_eval_fn` (reference
+    protocol ``src/train_teacher_gnn.py:157-268``): the validation graph
+    (old nodes) and the inference graph (old + new nodes) each get their own
+    halo partition and node-sharded encode; the merged test set and the
+    old-old / old-new / new-new buckets score against one shared negative
+    set on the narrow gathered embeddings.
+
+    Returns jitted ``eval_fn(params, val_x_sh, val_deg_sh, inf_x_sh,
+    inf_deg_sh, val_pos, val_neg, test_edges) -> (results, h_val)`` with
+    5-tuple metrics; ``test_edges`` is the same dict the replicated
+    evaluator takes.
+    """
+    encode_val = _make_halo_encode(mesh, val_part, encoder, conv, norm_type, axis)
+    encode_inf = _make_halo_encode(mesh, inf_part, encoder, conv, norm_type, axis)
+    score = _make_score(predictor_mode)
+    ks = tuple(hits_ks)
+
+    from llp_tpu.ops.metrics import hits_at_k, roc_auc
+
+    @jax.jit
+    def eval_fn(params, val_x_sh, val_deg_sh, inf_x_sh, inf_deg_sh,
+                val_pos, val_neg, test_edges):
+        h_val = encode_val(params, val_x_sh, val_deg_sh)
+        vp = score(params, h_val, val_pos)
+        vn = score(params, h_val, val_neg)
+
+        h_inf = encode_inf(params, inf_x_sh, inf_deg_sh)
+        tp = score(params, h_inf, test_edges["merged"])
+        oo = score(params, h_inf, test_edges["old_old"])
+        on = score(params, h_inf, test_edges["old_new"])
+        nn = score(params, h_inf, test_edges["new_new"])
+        tneg = score(params, h_inf, test_edges["neg"])
+
+        results = {}
+        for k in ks:
+            results[f"Hits@{k}"] = (
+                hits_at_k(vp, vn, k),
+                hits_at_k(tp, tneg, k),
+                hits_at_k(oo, tneg, k),
+                hits_at_k(on, tneg, k),
+                hits_at_k(nn, tneg, k),
+            )
+        results["AUC"] = (
+            roc_auc(vp, vn),
+            roc_auc(tp, tneg),
+            roc_auc(oo, tneg),
+            roc_auc(on, tneg),
+            roc_auc(nn, tneg),
+        )
+        return results, h_val
 
     return eval_fn
 

@@ -371,6 +371,31 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             encoder=cfg.encoder, conv=conv, predictor_mode=cfg.predictor,
             hits_ks=cfg.hits_ks, spmm_impl=cfg.spmm_impl, norm_type=cfg.norm_type,
         )
+        if mesh is not None and cfg.sharding == "halo":
+            # Feature-sharded production eval: the training graph doubles as
+            # the val message graph (its partition is already built); the
+            # inference graph (old + new nodes) gets its own.
+            from llp_tpu.parallel.eval import make_halo_production_eval_fn
+
+            inf_part = build_halo_partition(data["inf_graph"], cfg.num_devices)
+            inf_x_sh = pad_nodes(data["inf_x"], inf_part)
+            inf_deg_sh = pad_nodes(
+                np.asarray(jax.device_get(data["inf_graph"].in_degree)),
+                inf_part,
+            )
+            halo_prod = make_halo_production_eval_fn(
+                mesh, part, inf_part, encoder=cfg.encoder, conv=conv,
+                predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
+                norm_type=cfg.norm_type,
+            )
+            n_val = data["graph"].num_nodes
+
+            def eval_fn(params, vg, vx, ig, ix, vp, vn, te):
+                results, h = halo_prod(
+                    params, x_sh, deg_sh, inf_x_sh, inf_deg_sh, vp, vn, te
+                )
+                return results, h[:n_val]
+
         loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = ProductionRunLogger(cfg.runs)
     else:

@@ -423,6 +423,56 @@ def test_halo_transductive_eval_matches_single_device(encoder):
     )
 
 
+def test_halo_production_eval_matches_single_device():
+    """Feature-sharded production eval (two partitions: val graph + inference
+    graph) returns the replicated 5-tuple metrics and val embeddings."""
+    from llp_tpu.evaln.production import make_production_eval_fn
+    from llp_tpu.parallel.eval import make_halo_production_eval_fn
+    from llp_tpu.parallel.halo import build_halo_partition, pad_nodes
+
+    n_old, n_all = 150, 201
+    g_val, x_val, _, _ = _problem(n=n_old, seed=6)
+    g_inf, x_inf, _, _ = _problem(n=n_all, seed=7)
+    params = init_teacher_params(
+        jax.random.PRNGKey(12), encoder="sage", in_channels=int(x_val.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    rng = np.random.default_rng(13)
+    mkv = lambda m: jnp.asarray(rng.integers(0, n_old, size=(m, 2)), jnp.int32)
+    mki = lambda m: jnp.asarray(rng.integers(0, n_all, size=(m, 2)), jnp.int32)
+    vp, vn = mkv(30), mkv(50)
+    test_edges = {
+        "merged": mki(60), "old_old": mki(20), "old_new": mki(20),
+        "new_new": mki(20), "neg": mki(80),
+    }
+    ks = (10, 20)
+    ref_fn = make_production_eval_fn(
+        encoder="sage", predictor_mode="mlp", hits_ks=ks, spmm_impl="xla"
+    )
+    val_part = build_halo_partition(g_val, NDEV)
+    inf_part = build_halo_partition(g_inf, NDEV)
+    halo_fn = make_halo_production_eval_fn(
+        _mesh(), val_part, inf_part, encoder="sage", predictor_mode="mlp",
+        hits_ks=ks,
+    )
+    r_ref, h_ref = ref_fn(params, g_val, x_val, g_inf, x_inf, vp, vn, test_edges)
+    r_halo, h_halo = halo_fn(
+        params,
+        pad_nodes(x_val, val_part),
+        pad_nodes(np.asarray(jax.device_get(g_val.in_degree)), val_part),
+        pad_nodes(x_inf, inf_part),
+        pad_nodes(np.asarray(jax.device_get(g_inf.in_degree)), inf_part),
+        vp, vn, test_edges,
+    )
+    for k in r_ref:
+        np.testing.assert_allclose(
+            np.asarray(r_halo[k]), np.asarray(r_ref[k]), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_halo)[:n_old], np.asarray(h_ref), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_halo_teacher_epoch_mlp_rejected():
     from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
 

@@ -31,3 +31,33 @@ def test_production_teacher_student_pipeline(tmp_path):
     assert len(slog["Hits@20"].results[0][0]) == 5
     # results files written
     assert any(p.name.endswith("_production.txt") for p in (tmp_path / "results").iterdir())
+
+
+def test_production_halo_teacher(tmp_path):
+    """--sharding=halo in the production setting: feature-sharded training
+    AND feature-sharded two-graph evaluation through the driver."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    tstats, tlog = run_teacher(
+        TeacherConfig(
+            datasets="synthetic:sbm:400:4:8.0:41",
+            dataset_dir=str(tmp_path),
+            save_dir=str(tmp_path / "saved"),
+            results_dir=str(tmp_path / "results"),
+            transductive="production",
+            runs=1,
+            epochs=4,
+            eval_steps=2,
+            patience=10,
+            hidden_channels=24,
+            batch_size=2048,
+            num_devices=8,
+            sharding="halo",
+        ),
+        verbose=False,
+    )
+    assert len(tlog["Hits@20"].results[0][0]) == 5
+    assert set(tstats["AUC"]) == {"val", "test", "old_old", "old_new", "new_new"}
