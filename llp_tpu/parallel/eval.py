@@ -310,6 +310,79 @@ def make_table_transductive_eval_fn(
     return eval_fn
 
 
+def make_table_production_eval_fn(
+    mesh: Mesh,
+    *,
+    predictor_mode: str = "mlp",
+    hits_ks: Sequence[int] = (10, 20, 30, 50),
+    norm_type: str = "none",
+    axis: str = "data",
+):
+    """Production (unseen-node) evaluation for the TABLE-SHARDED student:
+    both feature matrices (val-graph x over old nodes, inference x over
+    old + new nodes) arrive owner-sharded and are encoded row-parallel;
+    5-tuple bucket metrics on the narrow embeddings under GSPMD.
+
+    Returns jitted ``eval_fn(params, val_x_sh, inf_x_sh, val_pos, val_neg,
+    test_edges) -> (results, h_val)`` — the metric contract of
+    :func:`llp_tpu.evaln.production.make_production_eval_fn`.
+    """
+    from llp_tpu.models.encoder import apply_encoder
+    from llp_tpu.ops.metrics import hits_at_k, roc_auc
+
+    score = _make_score(predictor_mode)
+    ks = tuple(hits_ks)
+
+    def encode_body(params, x):
+        h = apply_encoder(
+            "mlp", params["encoder"], None, x, train=False,
+            norm_type=norm_type,
+        )
+        if norm_type == "batch":
+            h, _ = h
+        return h
+
+    def encode(params, x_sharded):
+        return shard_map(
+            encode_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, x_sharded)
+
+    @jax.jit
+    def eval_fn(params, val_x_sh, inf_x_sh, val_pos, val_neg, test_edges):
+        h_val = encode(params, val_x_sh)
+        vp = score(params, h_val, val_pos)
+        vn = score(params, h_val, val_neg)
+        h_inf = encode(params, inf_x_sh)
+        tp = score(params, h_inf, test_edges["merged"])
+        oo = score(params, h_inf, test_edges["old_old"])
+        on = score(params, h_inf, test_edges["old_new"])
+        nn = score(params, h_inf, test_edges["new_new"])
+        tneg = score(params, h_inf, test_edges["neg"])
+        results = {}
+        for k in ks:
+            results[f"Hits@{k}"] = (
+                hits_at_k(vp, vn, k),
+                hits_at_k(tp, tneg, k),
+                hits_at_k(oo, tneg, k),
+                hits_at_k(on, tneg, k),
+                hits_at_k(nn, tneg, k),
+            )
+        results["AUC"] = (
+            roc_auc(vp, vn),
+            roc_auc(tp, tneg),
+            roc_auc(oo, tneg),
+            roc_auc(on, tneg),
+            roc_auc(nn, tneg),
+        )
+        return results, h_val
+
+    return eval_fn
+
+
 def make_sharded_topk_partners(
     mesh: Mesh,
     *,

@@ -677,11 +677,13 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                     "avoids (use sharding='dp' for full-batch)"
                 )
             feature_sharding = "table"
-            n_per = -(-n // cfg.num_devices)
 
             def _pad_rows(arr):
+                # Pad to the mesh size (each table's own row count: the
+                # inference-graph x of the production setting is taller).
                 a = jnp.asarray(arr)
-                pad = cfg.num_devices * n_per - a.shape[0]
+                n_per_a = -(-a.shape[0] // cfg.num_devices)
+                pad = cfg.num_devices * n_per_a - a.shape[0]
                 if pad == 0:
                     return a
                 return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
@@ -712,6 +714,22 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             encoder="mlp", predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
             norm_type=cfg.norm_type,
         )
+        if mesh is not None and cfg.sharding == "halo":
+            # Table-sharded x: both feature matrices encode row-parallel
+            # over their owner shards (see run_teacher's halo production
+            # eval for the GNN counterpart).
+            from llp_tpu.parallel.eval import make_table_production_eval_fn
+
+            inf_x_tab = _pad_rows(data["inf_x"])
+            tab_prod = make_table_production_eval_fn(
+                mesh, predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
+                norm_type=cfg.norm_type,
+            )
+
+            def eval_fn(params, vg, vx, ig, ix, vp, vn, te):
+                results, h = tab_prod(params, x_tab, inf_x_tab, vp, vn, te)
+                return results, h[:n]
+
         loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = ProductionRunLogger(cfg.runs)
     else:

@@ -473,6 +473,47 @@ def test_halo_production_eval_matches_single_device():
     )
 
 
+def test_table_production_eval_matches_single_device():
+    """Row-parallel production eval over two owner-sharded tables returns
+    the replicated 5-tuple metrics."""
+    from llp_tpu.evaln.production import make_production_eval_fn
+    from llp_tpu.parallel.eval import make_table_production_eval_fn
+    from llp_tpu.train.student import init_student_params
+
+    n_old, n_all = 150, 201
+    g_val, x_val, _, _ = _problem(n=n_old, seed=6)
+    g_inf, x_inf, _, _ = _problem(n=n_all, seed=7)
+    params = init_student_params(
+        jax.random.PRNGKey(14), in_channels=int(x_val.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    rng = np.random.default_rng(15)
+    mkv = lambda m: jnp.asarray(rng.integers(0, n_old, size=(m, 2)), jnp.int32)
+    mki = lambda m: jnp.asarray(rng.integers(0, n_all, size=(m, 2)), jnp.int32)
+    vp, vn = mkv(30), mkv(50)
+    test_edges = {
+        "merged": mki(60), "old_old": mki(20), "old_new": mki(20),
+        "new_new": mki(20), "neg": mki(80),
+    }
+    ks = (10, 20)
+    ref_fn = make_production_eval_fn(
+        encoder="mlp", predictor_mode="mlp", hits_ks=ks
+    )
+    tab_fn = make_table_production_eval_fn(_mesh(), predictor_mode="mlp", hits_ks=ks)
+    r_ref, h_ref = ref_fn(params, g_val, x_val, g_inf, x_inf, vp, vn, test_edges)
+    r_tab, h_tab = tab_fn(
+        params, _pad_rows(x_val, NDEV), _pad_rows(x_inf, NDEV), vp, vn,
+        test_edges,
+    )
+    for k in r_ref:
+        np.testing.assert_allclose(
+            np.asarray(r_tab[k]), np.asarray(r_ref[k]), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_tab)[:n_old], np.asarray(h_ref), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_halo_teacher_epoch_mlp_rejected():
     from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
 

@@ -33,31 +33,38 @@ def test_production_teacher_student_pipeline(tmp_path):
     assert any(p.name.endswith("_production.txt") for p in (tmp_path / "results").iterdir())
 
 
-def test_production_halo_teacher(tmp_path):
-    """--sharding=halo in the production setting: feature-sharded training
-    AND feature-sharded two-graph evaluation through the driver."""
+def test_production_halo_teacher_and_table_student(tmp_path):
+    """--sharding=halo in the production setting: feature-sharded teacher
+    training AND two-graph evaluation, then the table-sharded minibatch
+    student with its row-parallel production eval — all through the driver."""
     import jax
     import pytest
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
+    common = dict(
+        datasets="synthetic:sbm:400:4:8.0:41",
+        dataset_dir=str(tmp_path),
+        save_dir=str(tmp_path / "saved"),
+        results_dir=str(tmp_path / "results"),
+        transductive="production",
+        runs=1,
+        epochs=4,
+        eval_steps=2,
+        patience=10,
+        hidden_channels=24,
+        num_devices=8,
+        sharding="halo",
+    )
     tstats, tlog = run_teacher(
-        TeacherConfig(
-            datasets="synthetic:sbm:400:4:8.0:41",
-            dataset_dir=str(tmp_path),
-            save_dir=str(tmp_path / "saved"),
-            results_dir=str(tmp_path / "results"),
-            transductive="production",
-            runs=1,
-            epochs=4,
-            eval_steps=2,
-            patience=10,
-            hidden_channels=24,
-            batch_size=2048,
-            num_devices=8,
-            sharding="halo",
-        ),
-        verbose=False,
+        TeacherConfig(batch_size=2048, **common), verbose=False
     )
     assert len(tlog["Hits@20"].results[0][0]) == 5
     assert set(tstats["AUC"]) == {"val", "test", "old_old", "old_new", "new_new"}
+
+    sstats, slog = run_student(
+        StudentConfig(link_batch_size=2048, minibatch=True, **common),
+        verbose=False,
+    )
+    assert len(slog["Hits@20"].results[0][0]) == 5
+    assert set(sstats["AUC"]) == {"val", "test", "old_old", "old_new", "new_new"}
