@@ -354,9 +354,10 @@ def make_halo_teacher_epoch_fn(
     feature matrix itself by node owner (``llp_tpu.parallel.halo`` 1-D range
     partition) — the regime where N·D no longer fits one chip.  Per layer the
     encoder runs fully node-sharded (one ``all_to_all`` halo exchange per
-    aggregation, overlapped with the local-edge segment-sum); only the narrow
-    (N, H) embeddings ``all_gather`` for edge scoring.  H << D is exactly
-    where this pays.
+    aggregation, overlapped with the local-edge segment-sum); edge scoring
+    pulls only the batch's embedding rows from the node-sharded h via
+    :func:`table_gather` (O(B·H) over ICI per step — the full (N, H) table
+    never replicates).
 
     Driver-facing contract mirrors the other epoch functions:
     ``epoch_fn(params, opt_state, key, x_sharded, in_degree_sharded,
@@ -449,8 +450,6 @@ def make_halo_teacher_epoch_fn(
                 rng=jax.random.fold_in(k_drop, me), conv=conv,
                 norm_type=norm_type, impl=impl, x_agg=x_agg,
             )
-            # Only the narrow embeddings replicate, for pairwise scoring.
-            h_full = jax.lax.all_gather(h, axis, tiled=True)  # (P*n_per, H)
             if neg_mode == "dense":
                 neg = sample_negative_edges(k_neg, neg_keys, b_pad, num_nodes)
             else:
@@ -459,10 +458,17 @@ def make_halo_teacher_epoch_fn(
             neg_dst = jax.lax.dynamic_slice_in_dim(neg[1], me * b_loc, b_loc)
             src = jnp.concatenate([edges_loc[:, 0], neg_src])
             dst = jnp.concatenate([edges_loc[:, 1], neg_dst])
+            # Gather only the batch's embedding rows from the node-sharded h
+            # (table_gather, O(B·H) over ICI) instead of all_gather-ing the
+            # whole (N, H) table per step; autodiff scatters the row
+            # cotangents back to their owners.
+            rows = table_gather(
+                h, jnp.concatenate([src, dst]), part.n_per, axis
+            )
             out = apply_link_predictor(
                 params["predictor"],
-                jnp.take(h_full, src, axis=0),
-                jnp.take(h_full, dst, axis=0),
+                rows[: src.shape[0]],
+                rows[src.shape[0]:],
                 mode=predictor_mode, dropout=dropout, train=True, rng=k_pred,
             )
             labels = jnp.concatenate([jnp.ones((b_loc,)), jnp.zeros((b_loc,))])
