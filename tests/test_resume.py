@@ -70,6 +70,29 @@ def test_run_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_teacher_resume_under_sharding(tmp_path):
+    """Crash/resume works when training is sharded: snapshots of replicated
+    sharded params round-trip into the DP and halo epoch programs."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    for sharding in ("dp", "halo"):
+        tmp = tmp_path / sharding
+        tmp.mkdir()
+        run_teacher(
+            _cfg(tmp, checkpoint_every=2, epochs=4, num_devices=8,
+                 sharding=sharding),
+            verbose=False,
+        )
+        stats, loggers = run_teacher(
+            _cfg(tmp, checkpoint_every=2, epochs=7, num_devices=8,
+                 sharding=sharding, resume=True),
+            verbose=False,
+        )
+        assert len(loggers["Hits@20"].results[0]) == 7
+
+
 def test_teacher_resume_mid_block_with_fusion(tmp_path):
     """Resume landing mid-fusion-block: the driver falls back to single-epoch
     programs until realigned, then fuses again — history stays complete."""
