@@ -69,7 +69,7 @@ def make_sharded_hits_auc(mesh: Mesh, ks: Sequence[int], axis: str = "data"):
     return fn
 
 
-def _make_halo_encode(mesh, part, encoder, conv, norm_type, axis):
+def make_halo_encode(mesh, part, encoder, conv, norm_type, axis):
     """Node-sharded eval-mode encode over a halo partition: returns
     ``encode(params, x_sharded, in_degree_sharded) -> h_sharded`` (call under
     jit; the shard_map is inside)."""
@@ -153,7 +153,7 @@ def make_halo_transductive_eval_fn(
     the (padded-N, H) embedding table reused for the teacher feature
     export.
     """
-    encode = _make_halo_encode(mesh, part, encoder, conv, norm_type, axis)
+    encode = make_halo_encode(mesh, part, encoder, conv, norm_type, axis)
     score = _make_score(predictor_mode)
     ks = tuple(hits_ks)
 
@@ -203,8 +203,8 @@ def make_halo_production_eval_fn(
     5-tuple metrics; ``test_edges`` is the same dict the replicated
     evaluator takes.
     """
-    encode_val = _make_halo_encode(mesh, val_part, encoder, conv, norm_type, axis)
-    encode_inf = _make_halo_encode(mesh, inf_part, encoder, conv, norm_type, axis)
+    encode_val = make_halo_encode(mesh, val_part, encoder, conv, norm_type, axis)
+    encode_inf = make_halo_encode(mesh, inf_part, encoder, conv, norm_type, axis)
     score = _make_score(predictor_mode)
     ks = tuple(hits_ks)
 

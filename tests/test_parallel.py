@@ -513,6 +513,59 @@ def test_sharded_topk_partners_matches_single_device():
         assert np.asarray(qi)[r] not in np.asarray(ids)[r]
 
 
+def test_sharded_serve_pipeline_encode_to_topk():
+    """Full distributed serving path: node-sharded (halo) GNN encode composes
+    with node-sharded top-K partner retrieval — the huge-graph deployment
+    where neither the feature matrix nor the embedding table replicates.
+    Exact vs single-device encode + retrieval."""
+    import jax.numpy as jnp
+
+    from llp_tpu.core import build_graph
+    from llp_tpu.data.synthetic import community_features, sbm_graph
+    from llp_tpu.models.encoder import apply_encoder
+    from llp_tpu.parallel.eval import (
+        make_halo_encode,
+        make_sharded_topk_partners,
+    )
+    from llp_tpu.parallel.halo import build_halo_partition, pad_nodes
+    from llp_tpu.serve import top_k_partners
+    from llp_tpu.train.teacher import init_teacher_params
+
+    mesh = make_mesh(8)
+    n, k = 203, 5
+    ei, comm = sbm_graph(n, 4, 6.0, seed=21)
+    x = jnp.asarray(community_features(comm, 24, kind="gauss", seed=21))
+    g = build_graph(ei, n)
+    params = init_teacher_params(
+        jax.random.PRNGKey(17), encoder="sage", in_channels=24,
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+
+    part = build_halo_partition(g, 8)
+    encode = make_halo_encode(mesh, part, "sage", "sage", "none", "data")
+    h_sh = jax.jit(encode)(
+        params,
+        pad_nodes(x, part),
+        pad_nodes(np.asarray(jax.device_get(g.in_degree)), part),
+    )
+    qi = jnp.asarray(np.array([0, 50, 202], np.int32))
+    q_h = jnp.take(h_sh, qi, axis=0)
+    topk = make_sharded_topk_partners(
+        mesh, k=k, mode="mlp", num_nodes=n, block=16
+    )
+    vals, ids = topk(params["predictor"], h_sh, q_h, qi)
+
+    h_ref = apply_encoder("sage", params["encoder"], g, x, train=False)
+    ref_vals, _ = top_k_partners(
+        params["predictor"], h_ref, qi, k=k, mode="mlp", block=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_vals), atol=1e-5
+    )
+    for r in range(len(np.asarray(qi))):
+        assert np.asarray(qi)[r] not in np.asarray(ids)[r]
+
+
 def test_pmean_gradient_semantics_vs_ground_truth():
     """Pins the gradient rule every sharded train step relies on: when the
     per-device loss is the REPLICATED (fully psum'd) scalar, pmean of the
