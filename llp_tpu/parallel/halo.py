@@ -55,7 +55,12 @@ class HaloPartition(NamedTuple):
 
 
 def build_halo_partition(graph, num_shards: int) -> HaloPartition:
-    """Range-partition a graph for the halo-exchange SpMM (call outside jit)."""
+    """Range-partition a graph for the halo-exchange SpMM (call outside jit).
+
+    Fully vectorized (numpy sort/unique/searchsorted — no per-edge Python):
+    planning a 2M-edge collab-scale graph takes milliseconds, not the tens
+    of seconds the dict-based remap would.
+    """
     n = graph.num_nodes
     p_ = num_shards
     n_per = -(-n // p_)
@@ -63,48 +68,32 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
     send = np.asarray(jax.device_get(graph.senders))[:e].astype(np.int64)
     recv = np.asarray(jax.device_get(graph.receivers))[:e].astype(np.int64)
 
-    send_lists = [[None] * p_ for _ in range(p_)]  # [owner q][requester p]
+    # Per requester p: local/remote edge split + the sorted unique remote
+    # sender rows (= the halo request list, grouped by owner since global
+    # row ids sort by owner under the range partition).
     loc, rem = [], []
+    uniq = []  # per p: (rows_unique, inverse) over remote senders
     for p in range(p_):
         mask_p = (recv // n_per) == p
         es, er = send[mask_p], recv[mask_p]  # still receiver-sorted
         is_local = (es // n_per) == p
         loc.append((es[is_local] - p * n_per, er[is_local] - p * n_per))
-
         es_r, er_r = es[~is_local], er[~is_local]
-        owners = es_r // n_per
-        # Halo request lists per owner + remap of remote senders into the
-        # halo block of x_ext (positions assigned after M is known).
-        req = {}
-        for q in range(p_):
-            if q == p:
-                continue
-            rows = np.unique(es_r[owners == q]) - q * n_per
-            req[q] = rows
-            send_lists[q][p] = rows
-        rem.append((es_r, er_r - p * n_per, req))
+        rows_unique, inv = np.unique(es_r, return_inverse=True)
+        uniq.append((rows_unique, inv))
+        rem.append((es_r, er_r - p * n_per))
 
-    m = max(
-        (len(r) for row in send_lists for r in row if r is not None), default=0
-    )
-    m = max(m, 1)
+    # Halo rows exchanged per (owner, requester) = the largest per-owner
+    # group among each requester's unique remote rows.
+    m = 1
+    for rows_unique, _ in uniq:
+        if len(rows_unique):
+            counts = np.bincount(rows_unique // n_per, minlength=p_)
+            m = max(m, int(counts.max()))
 
     send_idx = np.zeros((p_, p_, m), np.int32)
-    pos_of = [dict() for _ in range(p_)]  # requester p: global row -> halo pos
-    for q in range(p_):
-        for p in range(p_):
-            rows = send_lists[q][p]
-            if rows is None or len(rows) == 0:
-                continue
-            send_idx[q, p, : len(rows)] = rows.astype(np.int32)
-            for j, r in enumerate(rows):
-                pos_of[p][q * n_per + r] = q * m + j
-
-    el = max((len(a) for a, _ in loc), default=0)
-    el = max(el, 1)
-    er_max = max((len(a) for a, _, _ in rem), default=0)
-    er_max = max(er_max, 1)
-
+    el = max(max((len(a) for a, _ in loc), default=0), 1)
+    er_max = max(max((len(a) for a, _ in rem), default=0), 1)
     loc_send = np.zeros((p_, el), np.int32)
     loc_recv = np.full((p_, el), n_per, np.int32)
     rem_send = np.zeros((p_, er_max), np.int32)
@@ -113,11 +102,24 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
         ls, lr = loc[p]
         loc_send[p, : len(ls)] = ls.astype(np.int32)
         loc_recv[p, : len(lr)] = lr.astype(np.int32)
-        es_r, er_r, _req = rem[p]
-        table = pos_of[p]
-        rem_send[p, : len(es_r)] = np.asarray(
-            [n_per + table[int(g)] for g in es_r], np.int32
-        )
+        rows_unique, inv = uniq[p]
+        es_r, er_r = rem[p]
+        if len(rows_unique):
+            owners_u = rows_unique // n_per
+            # rows_unique is sorted, so owner groups are contiguous: the
+            # rank within the group is the halo slot j; position in x_ext's
+            # halo block = owner·m + j.
+            starts = np.searchsorted(owners_u, np.arange(p_))
+            rank = np.arange(len(rows_unique)) - starts[owners_u]
+            for q in range(p_):
+                sel = owners_u == q
+                cnt = int(sel.sum())
+                if cnt:
+                    send_idx[q, p, :cnt] = (
+                        rows_unique[sel] - q * n_per
+                    ).astype(np.int32)
+            pos = owners_u * m + rank
+            rem_send[p, : len(es_r)] = (n_per + pos[inv]).astype(np.int32)
         rem_recv[p, : len(er_r)] = er_r.astype(np.int32)
 
     return HaloPartition(
