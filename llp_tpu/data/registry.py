@@ -15,8 +15,9 @@ but sources data from, in order of preference:
 3. A seeded synthetic stand-in with the real dataset's (N, D, avg-degree)
    shape — the offline default in this environment (no egress).
 
-Synthetic names are also first-class: ``synthetic:sbm:<n>:<k>:<deg>[:seed]``
-and ``synthetic:ba:<n>:<m>[:seed]``.
+Synthetic names are also first-class:
+``synthetic:sbm:<n>:<k>:<deg>[:seed[:dim[:binary|gauss]]]`` and
+``synthetic:ba:<n>:<m>[:seed]``.
 """
 
 from __future__ import annotations
@@ -88,8 +89,10 @@ def _synthetic_by_spec(spec: str) -> Dataset:
     if kind == "sbm":
         n, k, deg = int(parts[2]), int(parts[3]), float(parts[4])
         seed = int(parts[5]) if len(parts) > 5 else 0
+        dim = int(parts[6]) if len(parts) > 6 else min(max(64, n // 16), 1433)
+        feat_kind = parts[7] if len(parts) > 7 else "binary"
         ei, comm = sbm_graph(n, k, deg, seed=seed)
-        x = community_features(comm, min(max(64, n // 16), 1433), seed=seed)
+        x = community_features(comm, dim, kind=feat_kind, seed=seed)
         return Dataset(spec, x, ei, synthetic=True)
     if kind == "ba":
         n, m = int(parts[2]), int(parts[3])

@@ -153,6 +153,18 @@ def test_registry_synthetic_standins():
     assert k == kr
 
 
+def test_registry_sbm_spec_explicit_dim_and_kind():
+    ds = get_dataset("/tmp/llp-data", "synthetic:sbm:300:4:6.0:3:96:gauss")
+    assert ds.synthetic
+    assert ds.x.shape == (300, 96)
+    assert ds.x.dtype == np.float32
+    # gauss features are dense reals, not 0/1
+    assert not set(np.unique(ds.x[:4])) <= {0.0, 1.0}
+    # same graph as the dim-defaulted spec (dim only changes features)
+    ds2 = get_dataset("/tmp/llp-data", "synthetic:sbm:300:4:6.0:3")
+    np.testing.assert_array_equal(ds.edge_index, ds2.edge_index)
+
+
 def test_split_cache_fingerprint_staleness(tmp_path, rng):
     """A cached split from one graph must not be served for another."""
     from llp_tpu.data.io import dataset_fingerprint
