@@ -18,12 +18,14 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from llp_tpu.ops.rng import bernoulli_mask
+
 
 def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
     if rate <= 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    mask = bernoulli_mask(rng, keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
