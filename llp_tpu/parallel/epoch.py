@@ -226,6 +226,11 @@ def make_sharded_teacher_epoch_fn(
         def batch_loss(params, rng, edges_loc, mask_loc):
             params = cast_params(params, cdtype)
             k_drop, k_pred, k_neg = jax.random.split(rng, 3)
+            # Encoder dropout keeps the DEVICE-INVARIANT key: h is replicated
+            # (psum'd aggregations), so all devices must draw the same mask.
+            # The predictor acts on this device's batch shard — fold the
+            # device index so shards don't share mask bits across examples.
+            k_pred = jax.random.fold_in(k_pred, me)
             h = apply_encoder(
                 encoder, params["encoder"], graph, x,
                 dropout=dropout, train=True, rng=k_drop, conv=conv,
@@ -444,6 +449,9 @@ def make_halo_teacher_epoch_fn(
         def batch_loss(params, rng, edges_loc, mask_loc):
             params = cast_params(params, cdtype)
             k_drop, k_pred, k_neg = jax.random.split(rng, 3)
+            # Both tensors here are per-device (node-sharded h, batch-sharded
+            # predictor rows) — fold the device index into both mask keys.
+            k_pred = jax.random.fold_in(k_pred, me)
             h = apply_encoder(
                 encoder, params["encoder"], graph_shim, x,
                 dropout=dropout, train=True,
@@ -636,6 +644,13 @@ def make_sharded_student_epoch_fn(
                        amask_full):
             params = cast_params(params, cdtype)
             k_drop, k_pred, k_neg, k_ctx = jax.random.split(rng, 4)
+            # Predictor rows are this device's batch shard — decorrelate the
+            # mask streams across devices. The encoder key folds the device
+            # index ONLY in minibatch mode (gathered rows are per-device);
+            # full-batch h is replicated and needs the shared key.
+            k_pred = jax.random.fold_in(k_pred, me)
+            if minibatch:
+                k_drop = jax.random.fold_in(k_drop, me)
 
             if neg_mode == "dense":
                 neg = sample_negative_edges(k_neg, neg_keys, bl_pad, num_nodes)

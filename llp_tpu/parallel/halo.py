@@ -281,7 +281,9 @@ def make_halo_teacher_step(
             mode=predictor_mode,
             dropout=dropout,
             train=True,
-            rng=jax.random.fold_in(rng, 99),
+            # batch-sharded predictor rows: fold the device index so shards
+            # don't share mask bits across examples
+            rng=jax.random.fold_in(jax.random.fold_in(rng, 99), dev),
         )
         labels = jnp.concatenate(
             [jnp.ones((pos.shape[0],)), jnp.zeros((neg.shape[0],))]

@@ -177,6 +177,10 @@ def make_sharded_teacher_step(
             out = out / jnp.maximum(in_deg.astype(acc), 1.0)[:, None]
             return out.astype(feats.dtype)
 
+        # Encoder dropout uses the DEVICE-INVARIANT key: h is replicated
+        # (psum'd aggregation), all devices must draw the same mask. The
+        # predictor acts on this device's batch shard — fold the device
+        # index so shards don't share mask bits across examples.
         h = _sage_forward(
             params["encoder"], x, spmm_local, dropout=dropout,
             rng=jax.random.fold_in(rng, 0), conv=conv,
@@ -190,7 +194,9 @@ def make_sharded_teacher_step(
             mode=predictor_mode,
             dropout=dropout,
             train=True,
-            rng=jax.random.fold_in(rng, 1),
+            rng=jax.random.fold_in(
+                jax.random.fold_in(rng, 1), jax.lax.axis_index(axis)
+            ),
         )
         labels = jnp.concatenate(
             [jnp.ones((pos.shape[0],)), jnp.zeros((neg.shape[0],))]
@@ -288,6 +294,13 @@ def make_sharded_student_step(
     def device_loss(params, rng, graph, x, t_h, tpred, anchors, amask,
                     pos, neg, bmask):
         k_ctx, k_drop, k_pred = jax.random.split(rng, 3)
+        # Anchors and link batches are sharded: walk and predictor-mask draws
+        # are positionally keyed, so a device-invariant key would give every
+        # shard the same bit stream for different rows — fold the device in.
+        # k_drop stays shared: h is the full replicated node table.
+        me = jax.lax.axis_index(axis)
+        k_ctx = jax.random.fold_in(k_ctx, me)
+        k_pred = jax.random.fold_in(k_pred, me)
         walks = []
         for i in range(rw_step):
             w = random_walk(jax.random.fold_in(k_ctx, i), graph, anchors, hops)

@@ -608,3 +608,61 @@ def test_pmean_gradient_semantics_vs_ground_truth():
         loss, g = f(w, v, fmask)
         np.testing.assert_allclose(float(loss), float(ref_loss(w)), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g), g_true, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_predictor_dropout_decorrelates_across_batch_shards():
+    """Predictor dropout masks must differ across batch shards.
+
+    Construction: all real edges live on device 0's edge shard (device 1's is
+    fully masked), so h is identical between a 2-device mesh and a 1-device
+    mesh; the 2-device batch is two IDENTICAL copies of the 1-device batch.
+    With dropout=0 the psum'd losses then agree exactly (sanity gate). With
+    dropout>0 they must NOT agree: equality would mean both shards drew the
+    same mask bits for different batch rows (the pre-fix device-invariant
+    predictor key)."""
+    n, m, b, d = 48, 120, 24, 16
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+
+    senders = jnp.asarray(np.concatenate([src, np.zeros(m, np.int64)]), jnp.int32)
+    receivers = jnp.asarray(np.concatenate([dst, np.zeros(m, np.int64)]), jnp.int32)
+    emask = jnp.asarray(np.concatenate([np.ones(m, bool), np.zeros(m, bool)]))
+    in_deg = jnp.asarray(
+        np.bincount(dst, minlength=n).astype(np.float32)
+    )
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+
+    pos1 = jnp.asarray(rng.integers(0, n, size=(b, 2)), jnp.int32)
+    neg1 = jnp.asarray(rng.integers(0, n, size=(b, 2)), jnp.int32)
+    mask1 = jnp.ones((b,), bool)
+    pos2 = jnp.concatenate([pos1, pos1])
+    neg2 = jnp.concatenate([neg1, neg1])
+    mask2 = jnp.ones((2 * b,), bool)
+
+    params = init_teacher_params(
+        jax.random.PRNGKey(0), encoder="sage", in_channels=d,
+        hidden_channels=8, num_layers=2, predictor_mode="mlp",
+    )
+
+    def loss_at(dropout):
+        out = []
+        for ndev, pos, neg, msk in ((1, pos1, neg1, mask1), (2, pos2, neg2, mask2)):
+            step_fn, tx = make_sharded_teacher_step(
+                make_mesh(ndev), num_nodes=n, dropout=dropout, lr=0.01
+            )
+            p = jax.tree_util.tree_map(lambda a: a.copy(), params)
+            _, _, loss = step_fn(
+                p, tx.init(p), jax.random.PRNGKey(3), senders, receivers,
+                emask, in_deg, x, pos, neg, msk,
+            )
+            out.append(float(loss))
+        return out
+
+    l1, l2 = loss_at(0.0)
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)  # identical-h construction
+    l1, l2 = loss_at(0.5)
+    assert abs(l1 - l2) > 1e-4, (
+        "2-device loss equals 1-device loss under dropout: batch shards are "
+        "drawing identical predictor mask bits"
+    )
