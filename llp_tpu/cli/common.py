@@ -60,8 +60,17 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
         "--sharding", type=str, default="dp", choices=["dp", "halo"],
         help="multi-device execution model (with --num_devices > 1): "
              "'dp' replicates node features and shards edges+batches; "
-             "'halo' shards the feature matrix by node owner with boundary "
-             "exchange (teacher SAGE only)",
+             "'halo' shards the feature matrix by node owner — boundary "
+             "exchange for the sage/gcn teacher, owner-sharded "
+             "feature/teacher tables for the minibatch student",
+    )
+    p.add_argument(
+        "--checkpoint_every", type=int, default=0,
+        help="epochs between train-state snapshots (0 = off)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the last train-state snapshot if present",
     )
 
 

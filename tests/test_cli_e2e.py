@@ -144,3 +144,29 @@ def test_cli_halo_sharding(tmp_path):
     assert os.path.exists(
         tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_KD_transductive.txt"
     )
+
+
+def test_cli_checkpoint_resume_flags(tmp_path):
+    """--checkpoint_every / --resume plumb through to the driver: a run cut
+    short leaves a train-state snapshot a second CLI invocation extends."""
+    common = [
+        "--datasets=synthetic:sbm:200:4:6.0:7",
+        f"--dataset_dir={tmp_path}",
+        f"--save_dir={tmp_path}/saved",
+        f"--results_dir={tmp_path}/results",
+        "--hidden_channels=32",
+        "--eval_steps=1",
+        "--patience=50",
+        "--device=cpu",
+        "--spmm_impl=xla",
+        "--log_steps=100",
+        "--runs=1",
+        "--batch_size=1024",
+        "--checkpoint_every=1",
+    ]
+    teacher_main(common + ["--epochs=2"])
+    state = (
+        tmp_path / "saved" / "synthetic:sbm:200:4:6.0:7-sage_transductive_trainstate"
+    )
+    assert os.path.exists(str(state) + ".npz")
+    teacher_main(common + ["--epochs=4", "--resume"])
