@@ -29,13 +29,20 @@ def main(argv=None):
                    help="checkpoint path prefix (no .npz/.json extension)")
     p.add_argument("--datasets", type=str, default="cora")
     p.add_argument("--dataset_dir", type=str, default="./data")
-    p.add_argument("--device", type=str, default=None)
+    p.add_argument("--device", type=str, default="auto")
     p.add_argument("--topk", type=int, default=0)
     p.add_argument("--queries", type=str, default="",
                    help="comma-separated query node ids for --topk")
     p.add_argument("--pairs", type=str, default="",
                    help="comma-separated src:dst pairs to score")
     p.add_argument("--block", type=int, default=4096)
+    p.add_argument("--approx", action="store_true",
+                   help="retrieve --topk through XLA ApproxTopK (4-5x at "
+                        "serving shapes, recall ~0.95-0.98; exact on CPU)")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="retrieval scoring dtype (fp32 merges; ~2x for the "
+                        "'mlp' decoder)")
     p.add_argument("--reencode", action="store_true",
                    help="GNN checkpoints: re-encode over the dataset's full "
                         "edge set (inductive serving) instead of serving the "
@@ -97,7 +104,9 @@ def main(argv=None):
         t0 = time.perf_counter()
         vals, ids = top_k_partners(
             params["predictor"], h, qi, k=args.topk, mode=mode,
-            block=args.block,
+            block=args.block, approx=args.approx,
+            compute_dtype=(jnp.bfloat16
+                           if args.compute_dtype == "bfloat16" else None),
         )
         vals, ids = np.asarray(vals), np.asarray(ids)
         dt = time.perf_counter() - t0

@@ -392,6 +392,7 @@ def make_sharded_topk_partners(
     block: int = 4096,
     axis: str = "data",
     exclude_self: bool = True,
+    approx: bool = False,
 ):
     """Distributed top-K partner retrieval over a NODE-SHARDED embedding table
     (the multi-chip counterpart of :func:`llp_tpu.serve.top_k_partners`).
@@ -399,7 +400,10 @@ def make_sharded_topk_partners(
     Each device brute-force scores the replicated queries against its own
     shard of the table in MXU-friendly blocks with a running top-k merge,
     then one ``all_gather`` of the per-shard (Q, k) candidates (tiny) yields
-    the exact global top-k on every device.
+    the exact global top-k on every device.  ``approx=True`` swaps the
+    per-block exact merges for XLA ApproxTopK (4-5x at serving shapes on
+    TPU, recall ~0.95-0.98, exact on CPU — see llp_tpu.serve.top_k_partners);
+    the cross-shard merge stays exact.
 
     Returns jitted ``fn(predictor_params, h_sharded, query_h, query_ids) ->
     (scores, ids)``: ``h_sharded`` is (N_pad, H) with N_pad divisible by the
@@ -416,8 +420,7 @@ def make_sharded_topk_partners(
         base = jax.lax.axis_index(axis).astype(jnp.int32) * nl
         q = q_h.shape[0]
 
-        def body(carry, b0):
-            vals, ids = carry
+        def block_scores(b0):
             cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
             gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
             scores = _score_block(params, q_h, cand, mode)
@@ -426,21 +429,39 @@ def make_sharded_topk_partners(
             )
             if exclude_self:
                 invalid = invalid | (gid[None, :] == query_ids[:, None])
-            scores = jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32))
-            all_vals = jnp.concatenate([vals, scores], axis=1)
-            all_ids = jnp.concatenate(
-                [ids, jnp.broadcast_to(gid[None, :], (q, blk))], axis=1
-            )
-            top_vals, top_pos = jax.lax.top_k(all_vals, k)
-            return (top_vals, jnp.take_along_axis(all_ids, top_pos, axis=1)), None
+            return jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32)), gid
 
-        init = (
-            jnp.full((q, k), -jnp.inf, jnp.float32),
-            jnp.full((q, k), -1, jnp.int32),
-        )
-        (vals, ids), _ = jax.lax.scan(
-            body, init, jnp.arange(nb, dtype=jnp.int32) * blk
-        )
+        starts = jnp.arange(nb, dtype=jnp.int32) * blk
+
+        if approx:
+            def abody(_, b0):
+                scores, gid = block_scores(b0)
+                bv, bp = jax.lax.approx_max_k(scores, k)
+                return None, (bv, jnp.take(gid, bp.astype(jnp.int32)))
+
+            _, (bv, bi) = jax.lax.scan(abody, None, starts)   # (nb, Q, k)
+            av = jnp.transpose(bv, (1, 0, 2)).reshape(q, nb * k)
+            ai = jnp.transpose(bi, (1, 0, 2)).reshape(q, nb * k)
+            vals, pos = jax.lax.top_k(av, k)
+            ids = jnp.take_along_axis(ai, pos, axis=1)
+        else:
+            def body(carry, b0):
+                vals, ids = carry
+                scores, gid = block_scores(b0)
+                all_vals = jnp.concatenate([vals, scores], axis=1)
+                all_ids = jnp.concatenate(
+                    [ids, jnp.broadcast_to(gid[None, :], (q, blk))], axis=1
+                )
+                top_vals, top_pos = jax.lax.top_k(all_vals, k)
+                return (
+                    top_vals, jnp.take_along_axis(all_ids, top_pos, axis=1)
+                ), None
+
+            init = (
+                jnp.full((q, k), -jnp.inf, jnp.float32),
+                jnp.full((q, k), -1, jnp.int32),
+            )
+            (vals, ids), _ = jax.lax.scan(body, init, starts)
         # Merge the per-shard candidates globally (K·P values per query).
         allv = jax.lax.all_gather(vals, axis)  # (P, Q, k)
         alli = jax.lax.all_gather(ids, axis)

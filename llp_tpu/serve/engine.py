@@ -148,10 +148,11 @@ def score_pairs(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "k", "block", "exclude_self", "cdtype")
+    jax.jit,
+    static_argnames=("mode", "k", "block", "exclude_self", "cdtype", "approx"),
 )
 def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
-                  exclude_self: bool, cdtype=None):
+                  exclude_self: bool, cdtype=None, approx: bool = False):
     n = h.shape[0]
     if cdtype is not None:
         # Retrieval tolerates reduced precision: bf16 table/query halve the
@@ -162,8 +163,7 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
     q = q_h.shape[0]
     hp, nb = _pad_rows(h, block)
 
-    def body(carry, b0):
-        vals, ids = carry  # (Q, k) each
+    def block_scores(b0):
         cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)  # (B, H)
         cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
         scores = apply_link_predictor(
@@ -172,7 +172,28 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         invalid = cand_ids[None, :] >= n
         if exclude_self:
             invalid = invalid | (cand_ids[None, :] == query_ids[:, None])
-        scores = jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32))
+        return jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32)), cand_ids
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * block
+
+    if approx:
+        # Per-block ApproxTopK (the XLA PartialReduce TPU path — measured
+        # 4-5x faster than exact lax.top_k at serving shapes, recall@10
+        # ~0.98; exact on CPU) + ONE exact merge over the nb*k survivors.
+        def body(_, b0):
+            scores, cand_ids = block_scores(b0)
+            bv, bp = jax.lax.approx_max_k(scores, k)
+            return None, (bv, jnp.take(cand_ids, bp.astype(jnp.int32)))
+
+        _, (bv, bi) = jax.lax.scan(body, None, starts)        # (nb, Q, k)
+        all_vals = jnp.moveaxis(bv, 0, 1).reshape(q, nb * k)
+        all_ids = jnp.moveaxis(bi, 0, 1).reshape(q, nb * k)
+        top_vals, top_pos = jax.lax.top_k(all_vals, k)
+        return top_vals, jnp.take_along_axis(all_ids, top_pos, axis=1)
+
+    def body(carry, b0):
+        vals, ids = carry  # (Q, k) each
+        scores, cand_ids = block_scores(b0)
         all_vals = jnp.concatenate([vals, scores], axis=1)          # (Q, k+B)
         all_ids = jnp.concatenate(
             [ids, jnp.broadcast_to(cand_ids[None, :], (q, block))], axis=1
@@ -185,10 +206,43 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         jnp.full((q, k), -jnp.inf, jnp.float32),
         jnp.full((q, k), -1, jnp.int32),
     )
-    (vals, ids), _ = jax.lax.scan(
-        body, init, jnp.arange(nb, dtype=jnp.int32) * block
-    )
+    (vals, ids), _ = jax.lax.scan(body, init, starts)
     return vals, ids
+
+
+# Budget for the materialized (Q, N) score matrix of the single-pass inner
+# retrieval path (fp32): past this, fall back to the blocked scan.
+_SINGLE_PASS_SCORE_BYTES = 1 << 30
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "cdtype")
+)
+def _topk_inner_single_pass(params, h, query_ids, *, k: int,
+                            exclude_self: bool, cdtype=None):
+    """'inner'-decoder retrieval as ONE (Q,H)x(H,N) matmul + ONE ApproxTopK.
+
+    The inner decoder is sigmoid(<h_q, h_c>) — monotone in the dot product,
+    so top-k by raw dots equals top-k by probability; sigmoid applies only to
+    the k winners.  Measured 4.1x (fp32) / 4.8x (bf16) over the exact
+    blocked merge at Q=256, N=235k, k=10 (scripts/bench_topk.py): exact
+    lax.top_k dominates every blocked variant, and a full-table top_k is
+    worse still — ApproxTopK over the whole row is the fast shape.
+    """
+    n = h.shape[0]
+    if cdtype is not None:
+        h = h.astype(cdtype)
+    q_h = jnp.take(h, query_ids, axis=0)                     # (Q, H)
+    hp, _ = _pad_rows(h, 512)
+    dots = (q_h @ hp.T).astype(jnp.float32)                  # (Q, Npad)
+    ids_all = jnp.arange(hp.shape[0], dtype=jnp.int32)
+    invalid = ids_all[None, :] >= n
+    if exclude_self:
+        invalid = invalid | (ids_all[None, :] == query_ids[:, None])
+    dots = jnp.where(invalid, -jnp.inf, dots)
+    vals, ids = jax.lax.approx_max_k(dots, k)
+    probs = jnp.where(jnp.isfinite(vals), jax.nn.sigmoid(vals), -jnp.inf)
+    return probs, ids.astype(jnp.int32)
 
 
 def top_k_partners(
@@ -201,12 +255,20 @@ def top_k_partners(
     block: int = 4096,
     exclude_self: bool = True,
     compute_dtype=None,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K partner retrieval: for each query node, the K nodes with the
-    highest link probability, scanned over the full table in MXU-friendly
-    blocks with a running (k + block)-merge.  Returns ``(scores, node_ids)``,
-    each (Q, K), sorted descending.  ``compute_dtype=jnp.bfloat16`` runs the
-    scoring passes half-width (fp32 merge) for higher retrieval throughput."""
+    highest link probability.  Returns ``(scores, node_ids)``, each (Q, K),
+    sorted descending.
+
+    ``approx=True`` retrieves through XLA's ApproxTopK (recall ~0.95-0.98
+    at default settings; exact on CPU): the 'inner' decoder becomes one
+    whole-table matmul + one ApproxTopK when the (Q, N) score matrix fits
+    (4-5x measured, scripts/bench_topk.py), otherwise per-block ApproxTopK
+    replaces the exact running merges.  ``approx=False`` (default) keeps the
+    exact blocked (k + block) merge.  ``compute_dtype=jnp.bfloat16`` runs the
+    scoring passes half-width with fp32 merges — ~2x on the FLOP-bound 'mlp'
+    decoder, composes with ``approx``."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
     block = min(block, max(8, n))
@@ -215,8 +277,17 @@ def top_k_partners(
     if compute_dtype is not None:
         cdtype = jnp.dtype(compute_dtype).name
         cdtype = None if cdtype == h.dtype.name else getattr(jnp, cdtype)
+    if approx and mode == "inner":
+        q = int(query_ids.shape[0])
+        npad = -(-n // 512) * 512
+        if q * npad * 4 <= _SINGLE_PASS_SCORE_BYTES:
+            return _topk_inner_single_pass(
+                predictor_params, h, query_ids, k=k,
+                exclude_self=exclude_self, cdtype=cdtype,
+            )
     return _topk_blocked(predictor_params, h, query_ids, mode=mode, k=k,
-                         block=block, exclude_self=exclude_self, cdtype=cdtype)
+                         block=block, exclude_self=exclude_self, cdtype=cdtype,
+                         approx=approx)
 
 
 def candidate_scores_numpy(params, h, qi, mode):  # pragma: no cover - test aid

@@ -512,6 +512,14 @@ def test_sharded_topk_partners_matches_single_device():
     for r in range(len(np.asarray(qi))):
         assert np.asarray(qi)[r] not in np.asarray(ids)[r]
 
+    # approx merge (ApproxTopK is exact on the CPU backend) — same results
+    fn_a = make_sharded_topk_partners(
+        mesh, k=k, mode="mlp", num_nodes=n, block=16, approx=True
+    )
+    vals_a, ids_a = fn_a(pred, h_pad, jnp.take(h, qi, axis=0), qi)
+    np.testing.assert_allclose(np.asarray(vals_a), np.asarray(vals), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids))
+
 
 def test_sharded_serve_pipeline_encode_to_topk():
     """Full distributed serving path: node-sharded (halo) GNN encode composes

@@ -199,3 +199,58 @@ def test_top_k_partners_bf16_compute(setup):
         kth = np.sort(scores)[::-1][k - 1]
         assert (scores[np.asarray(i16)[r]] >= kth - 0.02).all()
     np.testing.assert_allclose(np.asarray(v16), np.asarray(v32), atol=0.02)
+
+
+@pytest.mark.parametrize("mode", ["inner", "mlp"])
+def test_top_k_partners_approx_matches_exact_on_cpu(setup, mode):
+    """ApproxTopK lowers to exact top-k on the CPU backend, so the approx
+    retrieval paths (single-pass inner + per-block merge) must reproduce the
+    exact path bit-for-bit here."""
+    x, enc, emb, preds = setup
+    n = x.shape[0]
+    qi = np.array([0, 7, 100, n - 1], np.int32)
+    k = 5
+    ve, ie = top_k_partners(preds[mode], emb, qi, k=k, mode=mode, block=64)
+    va, ia = top_k_partners(
+        preds[mode], emb, qi, k=k, mode=mode, block=64, approx=True
+    )
+    np.testing.assert_allclose(np.asarray(va), np.asarray(ve), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ie))
+
+
+def test_top_k_partners_approx_blocked_inner_fallback(setup, monkeypatch):
+    """When the (Q, N) score matrix exceeds the single-pass budget, approx
+    inner retrieval falls back to the blocked per-block-approx scan — force
+    that with a zero budget and check it still matches exact."""
+    import llp_tpu.serve.engine as engine
+
+    x, enc, emb, preds = setup
+    qi = np.array([3, 44, 150], np.int32)
+    monkeypatch.setattr(engine, "_SINGLE_PASS_SCORE_BYTES", 0)
+    va, ia = top_k_partners(
+        preds["inner"], emb, qi, k=4, mode="inner", block=64, approx=True
+    )
+    ve, ie = top_k_partners(preds["inner"], emb, qi, k=4, mode="inner", block=64)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(ve), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ie))
+
+
+def test_top_k_partners_approx_bf16_compose(setup):
+    x, enc, emb, preds = setup
+    qi = np.array([5, 9], np.int32)
+    k = 4
+    va, ia = top_k_partners(
+        preds["inner"], emb, qi, k=k, mode="inner", block=64, approx=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    full = np.asarray(
+        apply_link_predictor(
+            preds["inner"], jnp.take(emb, jnp.asarray(qi), axis=0)[:, None, :],
+            emb[None, :, :], mode="inner", train=False,
+        )
+    )
+    for r, q in enumerate(qi):
+        scores = full[r].copy()
+        scores[q] = -np.inf
+        kth = np.sort(scores)[::-1][k - 1]
+        assert (scores[np.asarray(ia)[r]] >= kth - 0.02).all()
