@@ -113,8 +113,9 @@ def encode_graph_nodes(
                norm_type, spmm_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "block"))
-def _score_blocked(params, h, src, dst, *, mode: str, block: int):
+@functools.partial(jax.jit, static_argnames=("mode", "block", "fused"))
+def _score_blocked(params, h, src, dst, *, mode: str, block: int,
+                   fused: bool = False):
     n_pairs = src.shape[0]
     sp, nb = _pad_rows(src, block)
     dp, _ = _pad_rows(dst, block)
@@ -123,8 +124,13 @@ def _score_blocked(params, h, src, dst, *, mode: str, block: int):
         s, d = sd
         hi = jnp.take(h, s, axis=0)
         hj = jnp.take(h, d, axis=0)
+        # fused=False default: at serving scale (big cold table, uniform
+        # random pairs) the plain XLA expression sits ON the random-gather
+        # floor while the Pallas SDDMM kernel's per-row DMA gathers run 30%
+        # slower (mlp 33.7 vs 44.3 ms/1M pairs, scripts/bench_scorepairs.py);
+        # the kernel wins only on small cache-warm tables (evaluators).
         return None, apply_link_predictor(
-            params, hi, hj, mode=mode, train=False, fused=True
+            params, hi, hj, mode=mode, train=False, fused=fused
         )
 
     _, out = jax.lax.scan(body, None, (sp.reshape(nb, block), dp.reshape(nb, block)))
@@ -139,12 +145,18 @@ def score_pairs(
     *,
     mode: str = "mlp",
     block: int = 131072,
+    fused: bool = False,
 ) -> jnp.ndarray:
-    """Probabilities for candidate (src, dst) pairs against embeddings h."""
+    """Probabilities for candidate (src, dst) pairs against embeddings h.
+
+    Runs at the uniform-random gather floor (~63M rows/s on a 240MB cold
+    table — 4x below the sorted-edge-order gather rate training enjoys;
+    scripts/bench_scorepairs.py). ``fused=True`` opts into the Pallas SDDMM
+    kernel — only profitable on small cache-warm tables."""
     src = jnp.asarray(src, jnp.int32)
     dst = jnp.asarray(dst, jnp.int32)
     return _score_blocked(predictor_params, h, src, dst, mode=mode,
-                          block=min(block, max(1, src.shape[0])))
+                          block=min(block, max(1, src.shape[0])), fused=fused)
 
 
 @functools.partial(
