@@ -39,9 +39,7 @@ def make_transductive_eval_fn(
 
     ks = tuple(hits_ks)
 
-    from llp_tpu.ops.pallas.sddmm_kernel import fused_scoring_default
-
-    fused_scoring = fused_scoring_default()
+    from llp_tpu.ops.pallas.sddmm_kernel import fused_profitable
 
     def score(params, h, edges):
         return apply_link_predictor(
@@ -50,7 +48,10 @@ def make_transductive_eval_fn(
             jnp.take(h, edges[:, 1], axis=0),
             mode=predictor_mode,
             train=False,
-            fused=fused_scoring,  # Pallas SDDMM on supported shapes
+            # Pallas SDDMM on supported shapes, but only while the table is
+            # cache-warm — on big tables the XLA expression hides under the
+            # gather (fused_profitable; scripts/bench_scorepairs.py).
+            fused=fused_profitable(h),
         )
 
     @jax.jit

@@ -84,6 +84,22 @@ def fused_scoring_default() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# The kernel only wins while the table its inputs were gathered from is
+# cache-warm: measured 1.08x at (20k, 256) = 20MB, but 0.76x at (235k, 256)
+# = 240MB, where execution is gather-bound and XLA's scoring hides entirely
+# under the gather while the kernel adds ~10 ms/M pairs on top
+# (scripts/bench_scorepairs.py).
+_FUSED_TABLE_BYTES = 64 * 1024 * 1024
+
+
+def fused_profitable(h) -> bool:
+    """Whether fused scoring pays off for rows gathered from table ``h``."""
+    return (
+        fused_scoring_default()
+        and h.shape[0] * h.shape[1] * h.dtype.itemsize <= _FUSED_TABLE_BYTES
+    )
+
+
 def fused_supported(lins, hi: jnp.ndarray) -> bool:
     if len(lins) != 2 or "b" not in lins[0] or "b" not in lins[1]:
         return False
