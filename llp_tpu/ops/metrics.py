@@ -16,7 +16,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Python scalar, NOT jnp.float32(...): a module-level device constant would
+# initialize the XLA backend at import time — which breaks
+# jax.distributed.initialize (must run before any backend init) and eagerly
+# opens a device client on `import llp_tpu.ops`.
+_NEG_INF = float("-inf")
 
 
 def hits_at_k(
