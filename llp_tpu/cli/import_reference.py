@@ -47,7 +47,13 @@ def main(argv=None):
                    help="reference ../saved-features node-embedding pickle")
     p.add_argument("--encoder", type=str, default="sage",
                    choices=["sage", "gcn", "mlp"])
-    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--num_layers", type=int, default=None,
+                   help="encoder depth; default: counted off the weights")
+    p.add_argument("--conv", type=str, default=None,
+                   choices=["sage", "sage_updated"],
+                   help="SAGE conv variant for GNN re-encoding; default "
+                        "follows the reference's dataset rule (sage_updated "
+                        "for coauthor-physics)")
     p.add_argument("--transductive", type=str, default="transductive",
                    choices=["transductive", "production"])
     args = p.parse_args(argv)
@@ -121,11 +127,13 @@ def main(argv=None):
             out,
             encoder=args.encoder,
             num_layers=args.num_layers,
+            conv=args.conv,
             dataset=args.datasets,
             setting=args.transductive,
         )
         print(f"wrote teacher checkpoint {out} "
               f"(hidden={meta['hidden_channels']}, "
+              f"num_layers={meta['num_layers']}, conv={meta['conv']}, "
               f"predictor_layers={meta['predictor_layers']})")
 
 

@@ -244,13 +244,22 @@ def load_features_pickle(path: str) -> np.ndarray:
     return _to_np(blob["features"]).astype(np.float32)
 
 
+def _count_layers(state, pattern: str) -> int:
+    """Number of consecutive ``pattern.format(i)`` key groups in a state dict."""
+    n = 0
+    while any(key.startswith(pattern.format(n)) for key in state):
+        n += 1
+    return n
+
+
 def import_teacher_checkpoint(
     models_pkl: str,
     features_pkl: str,
     out_path: str,
     *,
     encoder: str,
-    num_layers: int = 2,
+    num_layers: int | None = None,
+    conv: str | None = None,
     dataset: str = "",
     setting: str = "transductive",
 ) -> dict:
@@ -259,19 +268,43 @@ def import_teacher_checkpoint(
     Joins ``../saved-models`` (state dicts → param pytrees, via
     ``utils/torch_import.py``) and ``../saved-features`` into the
     ``{'params', 'features'}`` checkpoint ``run_student`` loads
-    (``train/loop.py``), with real architecture metadata — dims read off the
-    imported weights, fixing the reference's hardcoded 256/256/2 quirk
-    (``src/main.py:358``).
+    (``train/loop.py``), with real architecture metadata read off the
+    imported weights — dims, predictor depth, AND encoder depth (fixing the
+    reference's hardcoded 256/256/2 quirk, ``src/main.py:358``; pass
+    ``num_layers`` only to import a prefix on purpose).
+
+    ``conv`` is the SAGE variant for GNN re-encoding ('sage' |
+    'sage_updated'); default follows the reference's dataset rule —
+    coauthor-physics trains linear-then-aggregate
+    (``train_teacher_gnn.py:375-383``), everything else aggregate-then-linear.
     """
+    import torch
+
     from llp_tpu.utils.checkpoint import save_checkpoint
     from llp_tpu.utils.torch_import import import_teacher_pickle
+
+    if num_layers is None:
+        state = torch.load(models_pkl, map_location="cpu", weights_only=False)
+        pattern = "layers.{}." if encoder == "mlp" else "convs.{}."
+        num_layers = _count_layers(state["gnn"], pattern)
+        if num_layers == 0:
+            raise ValueError(
+                f"no {pattern.format('<i>')} keys in {models_pkl!r} — wrong "
+                f"--encoder? (state keys: {sorted(state['gnn'])[:4]}...)"
+            )
+    if conv is None:
+        conv = (
+            "sage_updated"
+            if encoder == "sage" and dataset == "coauthor-physics"
+            else encoder
+        )
 
     params = import_teacher_pickle(models_pkl, encoder=encoder, num_layers=num_layers)
     features = load_features_pickle(features_pkl)
     hidden = int(params["predictor"]["lins"][0]["w"].shape[0])
     meta = dict(
         encoder=encoder,
-        conv="sage" if encoder == "sage" else encoder,
+        conv=conv,
         predictor="mlp",
         hidden_channels=hidden,
         num_layers=num_layers,

@@ -433,7 +433,9 @@ def make_sharded_topk_partners(
 
         starts = jnp.arange(nb, dtype=jnp.int32) * blk
 
-        if approx:
+        if approx and k <= blk:  # approx_max_k needs k <= its reduction
+            # width; k > blk (tiny shards/blocks) falls through to the exact
+            # merge, which handles any k via the (k + blk)-wide concat.
             def abody(_, b0):
                 scores, gid = block_scores(b0)
                 bv, bp = jax.lax.approx_max_k(scores, k)
@@ -444,6 +446,9 @@ def make_sharded_topk_partners(
             ai = jnp.transpose(bi, (1, 0, 2)).reshape(q, nb * k)
             vals, pos = jax.lax.top_k(av, k)
             ids = jnp.take_along_axis(ai, pos, axis=1)
+            # -inf slots may carry padded out-of-range ids ApproxTopK picked
+            # among invalid entries — restore the -1 empty-slot sentinel.
+            ids = jnp.where(jnp.isfinite(vals), ids, -1)
         else:
             def body(carry, b0):
                 vals, ids = carry

@@ -188,7 +188,9 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
 
     starts = jnp.arange(nb, dtype=jnp.int32) * block
 
-    if approx:
+    if approx and k <= block:  # approx_max_k needs k <= its reduction width;
+        # k > block (tiny configs) falls through to the exact merge below,
+        # which handles any k via the (k + block)-wide concat.
         # Per-block ApproxTopK (the XLA PartialReduce TPU path — measured
         # 4-5x faster than exact lax.top_k at serving shapes, recall@10
         # ~0.98; exact on CPU) + ONE exact merge over the nb*k survivors.
@@ -201,7 +203,11 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         all_vals = jnp.moveaxis(bv, 0, 1).reshape(q, nb * k)
         all_ids = jnp.moveaxis(bi, 0, 1).reshape(q, nb * k)
         top_vals, top_pos = jax.lax.top_k(all_vals, k)
-        return top_vals, jnp.take_along_axis(all_ids, top_pos, axis=1)
+        top_ids = jnp.take_along_axis(all_ids, top_pos, axis=1)
+        # -inf slots may carry arbitrary (even padded out-of-range) ids the
+        # ApproxTopK picked among invalid entries — restore the exact path's
+        # -1 empty-slot sentinel.
+        return top_vals, jnp.where(jnp.isfinite(top_vals), top_ids, -1)
 
     def body(carry, b0):
         vals, ids = carry  # (Q, k) each
@@ -254,7 +260,9 @@ def _topk_inner_single_pass(params, h, query_ids, *, k: int,
     dots = jnp.where(invalid, -jnp.inf, dots)
     vals, ids = jax.lax.approx_max_k(dots, k)
     probs = jnp.where(jnp.isfinite(vals), jax.nn.sigmoid(vals), -jnp.inf)
-    return probs, ids.astype(jnp.int32)
+    # -1 sentinel for empty slots (k > valid candidates), like the exact path
+    ids = jnp.where(jnp.isfinite(vals), ids.astype(jnp.int32), -1)
+    return probs, ids
 
 
 def top_k_partners(

@@ -253,3 +253,42 @@ def test_imported_teacher_checkpoint_drives_student_distillation(tmp_path):
     )
     stats, _ = run_student(cfg, verbose=False)
     assert "Hits@20" in stats
+
+
+def test_import_teacher_infers_depth_and_conv(tmp_path):
+    """Review findings: encoder depth must be counted off the weights (no
+    silent truncation of 3-layer teachers under a default of 2), and
+    coauthor-physics must get conv='sage_updated' like native checkpoints."""
+    g = torch.Generator().manual_seed(5)
+    rnd = lambda *s: torch.randn(*s, generator=g) * 0.1
+    gnn = {}
+    for i, (i_d, o_d) in enumerate([(12, 16), (16, 16), (16, 16)]):  # 3 layers
+        gnn[f"convs.{i}.lin_l.weight"] = rnd(o_d, i_d)
+        gnn[f"convs.{i}.lin_l.bias"] = rnd(o_d)
+        gnn[f"convs.{i}.lin_r.weight"] = rnd(o_d, i_d)
+    pred = {}
+    for i, (i_d, o_d) in enumerate([(16, 16), (16, 1)]):
+        pred[f"lins.{i}.weight"] = rnd(o_d, i_d)
+        pred[f"lins.{i}.bias"] = rnd(o_d)
+    mp_, fp_ = str(tmp_path / "m.pkl"), str(tmp_path / "f.pkl")
+    torch.save({"gnn": gnn, "predictor": pred}, mp_)
+    torch.save({"features": torch.randn(20, 16, generator=g)}, fp_)
+
+    from llp_tpu.data.import_reference import import_teacher_checkpoint
+
+    meta = import_teacher_checkpoint(
+        mp_, fp_, str(tmp_path / "out"), encoder="sage",
+        dataset="coauthor-physics",
+    )
+    assert meta["num_layers"] == 3
+    assert meta["conv"] == "sage_updated"
+
+    from llp_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt, _ = load_checkpoint(str(tmp_path / "out"))
+    assert len(ckpt["params"]["encoder"]["convs"]) == 3
+
+    meta2 = import_teacher_checkpoint(
+        mp_, fp_, str(tmp_path / "out2"), encoder="sage", dataset="cora",
+    )
+    assert meta2["conv"] == "sage"

@@ -125,10 +125,12 @@ def test_two_process_dp_teacher_matches_single_process(tmp_path):
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
         PYTHONPATH=_REPO + os.pathsep + env.get("PYTHONPATH", ""),
-        # each worker needs its own compilation cache dir: concurrent
-        # processes racing one dir can corrupt entries
+        # disable the persistent compilation cache in the workers: two
+        # processes racing one dir (inherited from conftest) can corrupt it
         JAX_COMPILATION_CACHE_DIR="",
     )
+    # NB: the port was probed-then-released above — a tiny TOCTOU window
+    # remains, acceptable for a test (the bind happens within milliseconds).
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker",

@@ -254,3 +254,16 @@ def test_top_k_partners_approx_bf16_compose(setup):
         scores[q] = -np.inf
         kth = np.sort(scores)[::-1][k - 1]
         assert (scores[np.asarray(ia)[r]] >= kth - 0.02).all()
+
+
+def test_top_k_partners_approx_k_exceeds_block(setup):
+    """approx_max_k needs k <= its reduction width; k > block must fall back
+    to the exact merge instead of crashing (review finding)."""
+    x, enc, emb, preds = setup
+    qi = np.array([1, 2], np.int32)
+    ve, ie = top_k_partners(preds["mlp"], emb, qi, k=12, mode="mlp", block=8)
+    va, ia = top_k_partners(
+        preds["mlp"], emb, qi, k=12, mode="mlp", block=8, approx=True
+    )
+    np.testing.assert_allclose(np.asarray(va), np.asarray(ve), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ie))
