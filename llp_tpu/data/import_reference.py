@@ -75,9 +75,16 @@ def load_transductive_split_pickle(path: str) -> Dict[str, Dict[str, np.ndarray]
     for part in ("train", "valid", "test"):
         if part not in blob:
             raise KeyError(f"split pickle missing part {part!r}")
+        # Convert only the documented edge keys; companion metadata some
+        # pipelines stash alongside (e.g. collab-style 1-D 'weight'/'year')
+        # is not part of the split contract and is skipped, not fatal.
         out[part] = {
-            k: _edges_2xM(v).T.copy() for k, v in blob[part].items()
+            k: _edges_2xM(v).T.copy()
+            for k, v in blob[part].items()
+            if k in ("edge", "edge_neg")
         }
+        if "edge" not in out[part]:
+            raise KeyError(f"split pickle part {part!r} has no 'edge' key")
     return out
 
 
@@ -244,14 +251,6 @@ def load_features_pickle(path: str) -> np.ndarray:
     return _to_np(blob["features"]).astype(np.float32)
 
 
-def _count_layers(state, pattern: str) -> int:
-    """Number of consecutive ``pattern.format(i)`` key groups in a state dict."""
-    n = 0
-    while any(key.startswith(pattern.format(n)) for key in state):
-        n += 1
-    return n
-
-
 def import_teacher_checkpoint(
     models_pkl: str,
     features_pkl: str,
@@ -269,7 +268,7 @@ def import_teacher_checkpoint(
     ``utils/torch_import.py``) and ``../saved-features`` into the
     ``{'params', 'features'}`` checkpoint ``run_student`` loads
     (``train/loop.py``), with real architecture metadata read off the
-    imported weights — dims, predictor depth, AND encoder depth (fixing the
+    imported weights — dims, encoder depth, AND predictor depth (fixing the
     reference's hardcoded 256/256/2 quirk, ``src/main.py:358``; pass
     ``num_layers`` only to import a prefix on purpose).
 
@@ -281,17 +280,10 @@ def import_teacher_checkpoint(
     import torch
 
     from llp_tpu.utils.checkpoint import save_checkpoint
-    from llp_tpu.utils.torch_import import import_teacher_pickle
+    from llp_tpu.utils.torch_import import import_teacher_state
 
-    if num_layers is None:
-        state = torch.load(models_pkl, map_location="cpu", weights_only=False)
-        pattern = "layers.{}." if encoder == "mlp" else "convs.{}."
-        num_layers = _count_layers(state["gnn"], pattern)
-        if num_layers == 0:
-            raise ValueError(
-                f"no {pattern.format('<i>')} keys in {models_pkl!r} — wrong "
-                f"--encoder? (state keys: {sorted(state['gnn'])[:4]}...)"
-            )
+    blob = torch.load(models_pkl, map_location="cpu", weights_only=False)
+    params = import_teacher_state(blob, encoder=encoder, num_layers=num_layers)
     if conv is None:
         conv = (
             "sage_updated"
@@ -299,15 +291,15 @@ def import_teacher_checkpoint(
             else encoder
         )
 
-    params = import_teacher_pickle(models_pkl, encoder=encoder, num_layers=num_layers)
     features = load_features_pickle(features_pkl)
     hidden = int(params["predictor"]["lins"][0]["w"].shape[0])
+    key = "layers" if encoder == "mlp" else "convs"
     meta = dict(
         encoder=encoder,
         conv=conv,
         predictor="mlp",
         hidden_channels=hidden,
-        num_layers=num_layers,
+        num_layers=len(params["encoder"][key]),
         predictor_layers=len(params["predictor"]["lins"]),
         dataset=dataset,
         setting=setting,

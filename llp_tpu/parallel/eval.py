@@ -125,6 +125,31 @@ def _make_score(predictor_mode):
     return score
 
 
+def _make_table_encode(mesh, norm_type, axis):
+    """Row-parallel MLP encode over an owner-sharded feature table."""
+    from llp_tpu.models.encoder import apply_encoder
+
+    def encode_body(params, x):
+        h = apply_encoder(
+            "mlp", params["encoder"], None, x, train=False,
+            norm_type=norm_type,
+        )
+        if norm_type == "batch":
+            h, _ = h  # eval mode: running buffers used, not updated
+        return h
+
+    def encode(params, x_sharded):
+        return shard_map(
+            encode_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, x_sharded)
+
+    return encode
+
+
 def make_halo_transductive_eval_fn(
     mesh: Mesh,
     part,
@@ -264,39 +289,15 @@ def make_table_transductive_eval_fn(
     with the metric contract of
     :func:`llp_tpu.evaln.transductive.make_transductive_eval_fn`.
     """
-    from llp_tpu.models.encoder import apply_encoder
-    from llp_tpu.models.predictor import apply_link_predictor
     from llp_tpu.ops.metrics import hits_at_k, roc_auc
 
     ks = tuple(hits_ks)
-
-    def encode_body(params, x):
-        h = apply_encoder(
-            "mlp", params["encoder"], None, x, train=False,
-            norm_type=norm_type,
-        )
-        if norm_type == "batch":
-            h, _ = h  # eval mode: running buffers used, not updated
-        return h
-
-    def score(params, h, edges):
-        return apply_link_predictor(
-            params["predictor"],
-            jnp.take(h, edges[:, 0], axis=0),
-            jnp.take(h, edges[:, 1], axis=0),
-            mode=predictor_mode,
-            train=False,
-        )
+    encode = _make_table_encode(mesh, norm_type, axis)
+    score = _make_score(predictor_mode)
 
     @jax.jit
     def eval_fn(params, x_sharded, valid_pos, valid_neg, test_pos, test_neg):
-        h = shard_map(
-            encode_body,
-            mesh=mesh,
-            in_specs=(P(), P(axis)),
-            out_specs=P(axis),
-            check_vma=False,
-        )(params, x_sharded)
+        h = encode(params, x_sharded)
         vp = score(params, h, valid_pos)
         vn = score(params, h, valid_neg)
         tp = score(params, h, test_pos)
@@ -327,29 +328,11 @@ def make_table_production_eval_fn(
     test_edges) -> (results, h_val)`` — the metric contract of
     :func:`llp_tpu.evaln.production.make_production_eval_fn`.
     """
-    from llp_tpu.models.encoder import apply_encoder
     from llp_tpu.ops.metrics import hits_at_k, roc_auc
 
     score = _make_score(predictor_mode)
     ks = tuple(hits_ks)
-
-    def encode_body(params, x):
-        h = apply_encoder(
-            "mlp", params["encoder"], None, x, train=False,
-            norm_type=norm_type,
-        )
-        if norm_type == "batch":
-            h, _ = h
-        return h
-
-    def encode(params, x_sharded):
-        return shard_map(
-            encode_body,
-            mesh=mesh,
-            in_specs=(P(), P(axis)),
-            out_specs=P(axis),
-            check_vma=False,
-        )(params, x_sharded)
+    encode = _make_table_encode(mesh, norm_type, axis)
 
     @jax.jit
     def eval_fn(params, val_x_sh, inf_x_sh, val_pos, val_neg, test_edges):

@@ -61,7 +61,10 @@ def _encode_blocked(params, x, *, norm_type: str, block: int):
     xp, nb = _pad_rows(x, block)
 
     def body(_, xb):
-        return None, apply_mlp(params, xb, train=False, norm_type=norm_type)
+        h = apply_mlp(params, xb, train=False, norm_type=norm_type)
+        if norm_type == "batch":  # stateful mode returns (h, new_norm_state)
+            h, _unused = h
+        return None, h
 
     _, hb = jax.lax.scan(body, None, xp.reshape(nb, block, x.shape[1]))
     return hb.reshape(nb * block, -1)[: x.shape[0]]
@@ -79,6 +82,18 @@ def encode_nodes(
                            norm_type=norm_type, block=min(block, max(1, x.shape[0])))
 
 
+@functools.partial(jax.jit, static_argnames=("enc", "cv", "nt", "impl"))
+def _encode_graph_fwd(params, g, xx, *, enc, cv, nt, impl):
+    from llp_tpu.models.encoder import apply_encoder
+
+    h = apply_encoder(
+        enc, params, g, xx, train=False, conv=cv, norm_type=nt, impl=impl,
+    )
+    if nt == "batch":  # stateful mode returns (h, new_norm_state)
+        h, _unused = h
+    return h
+
+
 def encode_graph_nodes(
     encoder_params,
     graph,
@@ -93,24 +108,17 @@ def encode_graph_nodes(
 
     The inductive (production) serving path — when new nodes arrive, the
     teacher re-encodes the inference graph (reference ``train_teacher_gnn.py:
-    190-193``); this is that forward as one jit'd program, riding the
+    190-193``); this is that forward as one jit'd program (module-level jit:
+    repeated re-encodes on the same shapes hit the compile cache), riding the
     windowed segsum kernel on TPU.
     """
-    from llp_tpu.models.encoder import apply_encoder
-
     if spmm_impl == "segsum":
         from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
 
         prepare_segsum(graph)
 
-    @functools.partial(jax.jit, static_argnames=("enc", "cv", "nt", "impl"))
-    def fwd(params, g, xx, enc, cv, nt, impl):
-        return apply_encoder(
-            enc, params, g, xx, train=False, conv=cv, norm_type=nt, impl=impl,
-        )
-
-    return fwd(encoder_params, graph, jnp.asarray(x), encoder, conv,
-               norm_type, spmm_impl)
+    return _encode_graph_fwd(encoder_params, graph, jnp.asarray(x),
+                             enc=encoder, cv=conv, nt=norm_type, impl=spmm_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "block", "fused"))

@@ -86,17 +86,41 @@ def import_gcn(state: Mapping[str, object], num_layers: int) -> dict:
     return {"convs": convs}
 
 
-def import_teacher_pickle(path: str, *, encoder: str, num_layers: int) -> dict:
-    """Load a reference ../saved-models pickle into {'encoder','predictor'}.
+def count_layers(state: Mapping[str, object], pattern: str) -> int:
+    """Number of consecutive ``pattern.format(i)`` key groups in a state dict
+    (e.g. ``"convs.{}."`` for SAGE/GCN, ``"lins.{}."`` for the predictor)."""
+    n = 0
+    while any(key.startswith(pattern.format(n)) for key in state):
+        n += 1
+    return n
 
-    Requires torch (the pickle holds tensors); predictor depth is the
-    reference's hardcoded 2 (train_teacher_gnn.py:391-392).
+
+def import_teacher_state(
+    blob: Mapping[str, Mapping[str, object]],
+    *,
+    encoder: str,
+    num_layers: int | None = None,
+    predictor_layers: int | None = None,
+) -> dict:
+    """Convert a loaded reference teacher blob (``{'gnn': state_dict,
+    'predictor': state_dict}``) into {'encoder','predictor'} param pytrees.
+
+    Depths default to COUNTING the state-dict keys — the reference hardcodes
+    predictor depth 2 at load time (train_teacher_gnn.py:391-392, a quirk);
+    pass explicit values only to import a prefix on purpose.
     """
-    import torch
-
-    blob = torch.load(path, map_location="cpu")
     enc_state = blob["gnn"]
     pred_state = blob["predictor"]
+    if num_layers is None:
+        pattern = "layers.{}." if encoder == "mlp" else "convs.{}."
+        num_layers = count_layers(enc_state, pattern)
+        if num_layers == 0:
+            raise ValueError(
+                f"no {pattern.format('<i>')} keys in the encoder state — "
+                f"wrong encoder={encoder!r}? (keys: {sorted(enc_state)[:4]}…)"
+            )
+    if predictor_layers is None:
+        predictor_layers = count_layers(pred_state, "lins.{}.")
     if encoder == "sage":
         enc = import_sage(enc_state, num_layers)
     elif encoder == "gcn":
@@ -105,4 +129,28 @@ def import_teacher_pickle(path: str, *, encoder: str, num_layers: int) -> dict:
         enc = import_mlp(enc_state, num_layers)
     else:
         raise ValueError(f"unknown encoder {encoder!r}")
-    return {"encoder": enc, "predictor": import_link_predictor(pred_state, 2)}
+    return {
+        "encoder": enc,
+        "predictor": import_link_predictor(pred_state, predictor_layers),
+    }
+
+
+def import_teacher_pickle(
+    path: str,
+    *,
+    encoder: str,
+    num_layers: int | None = None,
+    predictor_layers: int | None = None,
+) -> dict:
+    """Load a reference ../saved-models pickle into {'encoder','predictor'}.
+
+    Requires torch (the pickle holds tensors). Depths are counted off the
+    weights unless given (see :func:`import_teacher_state`).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu")
+    return import_teacher_state(
+        blob, encoder=encoder, num_layers=num_layers,
+        predictor_layers=predictor_layers,
+    )

@@ -267,3 +267,16 @@ def test_top_k_partners_approx_k_exceeds_block(setup):
     )
     np.testing.assert_allclose(np.asarray(va), np.asarray(ve), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ie))
+
+
+def test_encode_nodes_batch_norm_checkpoint(setup):
+    """Review finding: norm_type='batch' makes apply_mlp return
+    (h, new_norm_state); serving encode must unpack it, matching eval-mode
+    batch-norm semantics (running buffers used, not updated)."""
+    from llp_tpu.models.mlp import init_mlp as _init
+
+    x, _, _, _ = setup
+    enc = _init(jax.random.PRNGKey(4), 2, x.shape[1], 16, 16, norm_type="batch")
+    h = encode_nodes(enc, x, norm_type="batch", block=64)
+    ref = apply_mlp(enc, x, train=False, norm_type="batch")[0]
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref), atol=1e-5)
