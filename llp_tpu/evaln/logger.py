@@ -53,12 +53,15 @@ class RunLogger:
 
     def print_statistics(self, run=None) -> str:
         if run is not None:
-            r = np.asarray(self.results[run])
+            # ×100 like every other report ([QUIRK fixed]: the reference's
+            # per-run transductive print is the one path that forgets the
+            # scaling, logger.py:22-26 vs :30 — print-only, no metric impact)
+            r = 100 * np.asarray(self.results[run])
             argmax = int(r[:, 0].argmax())
             msg = (
                 f"Run {run + 1:02d}:\n"
-                f"Highest Valid: {r[:, 0].max():.4f}\n"
-                f"   Final Test: {r[argmax, 1]:.4f}"
+                f"Highest Valid: {r[:, 0].max():.2f}\n"
+                f"   Final Test: {r[argmax, 1]:.2f}"
             )
         else:
             s = self.statistics()

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from llp_tpu.models.encoder import apply_encoder
-from llp_tpu.models.predictor import apply_link_predictor
 from llp_tpu.ops.metrics import hits_at_k, roc_auc
 
 
@@ -39,20 +38,9 @@ def make_transductive_eval_fn(
 
     ks = tuple(hits_ks)
 
-    from llp_tpu.ops.pallas.sddmm_kernel import fused_profitable
+    from llp_tpu.evaln.scoring import make_score
 
-    def score(params, h, edges):
-        return apply_link_predictor(
-            params["predictor"],
-            jnp.take(h, edges[:, 0], axis=0),
-            jnp.take(h, edges[:, 1], axis=0),
-            mode=predictor_mode,
-            train=False,
-            # Pallas SDDMM on supported shapes, but only while the table is
-            # cache-warm — on big tables the XLA expression hides under the
-            # gather (fused_profitable; scripts/bench_scorepairs.py).
-            fused=fused_profitable(h),
-        )
+    score = make_score(predictor_mode)
 
     @jax.jit
     def eval_fn(params, graph, x, valid_pos, valid_neg, test_pos, test_neg):

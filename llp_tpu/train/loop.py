@@ -50,8 +50,6 @@ def _effective_neg_mode(cfg, num_nodes: int) -> str:
     """Dense (exclusion-set) negatives need exact int32 edge keys; beyond that
     node count the reference itself uses plain uniform negatives (collab,
     main.py:83-84) — do the same for any graph that large."""
-    from llp_tpu.sample.negative import MAX_EXACT_NODES
-
     if num_nodes > MAX_EXACT_NODES:
         return "uniform"
     return cfg.neg_mode
@@ -279,6 +277,9 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         prepare_pallas(data["graph"])
         if production:
             prepare_pallas(data["inf_graph"])
+        elif data.get("eval_graph") is not None and data["eval_graph"] is not data["graph"]:
+            # use_valedges_as_input evaluates on a second message graph
+            prepare_pallas(data["eval_graph"])
     elif cfg.spmm_impl == "segsum":
         from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
 
@@ -444,7 +445,23 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     epochs = max_epochs if max_epochs is not None else cfg.epochs
     val_max = 0.0  # shared across runs (reference train_teacher_gnn.py:420)
     best_artifact = None
+    artifact_dirty = False
     t0 = time.time()
+
+    def flush_artifact():
+        # Persist the pending best-val artifact alongside train-state
+        # snapshots: without this, a crash after the best epoch loses the
+        # artifact while resume restores val_max — the run would then finish
+        # having exported NO teacher checkpoint at all (val never re-clears
+        # the restored val_max).
+        nonlocal artifact_dirty
+        if artifact_dirty and best_artifact is not None:
+            bp, bh, bmeta = best_artifact
+            save_checkpoint(
+                _teacher_ckpt_path(cfg), {"params": bp, "features": bh},
+                meta=bmeta,
+            )
+            artifact_dirty = False
 
     from llp_tpu.train.state import load_run_state, save_run_state
     from llp_tpu.utils.profiling import ThroughputMeter
@@ -503,6 +520,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
             if epoch % max(cfg.eval_steps, 1) != 0:
                 meter.end_epoch(ran, exclude=compiled)
                 if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                    flush_artifact()
                     save_run_state(
                         state_path, params=params, opt_state=opt_state, run=run,
                         epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
@@ -563,6 +581,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                             val=val,
                         ),
                     )
+                    artifact_dirty = True
             if val >= best_val:
                 best_val, cnt_wait = val, 0
             else:
@@ -576,6 +595,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                     f"({meter.edges_per_sec:.0f} edges/s)"
                 )
             if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                flush_artifact()
                 save_run_state(
                     state_path, params=params, opt_state=opt_state, run=run,
                     epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
@@ -762,10 +782,22 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
 
     meter = ThroughputMeter(edges_per_epoch=2 * data["num_pos"])
     compiled_fns: set = set()
-    state_path = os.path.join(
-        cfg.save_dir, f"{cfg.datasets}-student_{cfg.transductive}_trainstate"
-    )
+    state_path = _student_ckpt_path(cfg) + "_trainstate"
     resume_run, resume_epoch, resume_state = 0, 0, None
+    # Best-val student export across runs (serving artifact — the deployable
+    # graph-free MLP; the reference's student saves nothing but text results,
+    # main.py:465-513 — this mirrors the teacher's artifact contract instead).
+    best_student = None
+    val_smax = 0.0
+    student_dirty = False
+    student_meta = dict(
+        encoder="mlp",
+        predictor=cfg.predictor,
+        hidden_channels=cfg.hidden_channels,
+        num_layers=cfg.num_layers,
+        norm_type=cfg.norm_type,
+        in_channels=in_dim,
+    )
     if cfg.resume:
         probe = init_student_params(
             jax.random.PRNGKey(0), in_channels=in_dim,
@@ -781,14 +813,22 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 if k in loggers:
                     for r, hist in enumerate(histories):
                         loggers[k].results[r] = [tuple(t) for t in hist]
+            val_smax = meta.get("val_max", 0.0)  # cross-run export bar
             if verbose:
                 print(f"resuming from run {resume_run} epoch {resume_epoch}")
 
-    # Best-val student export across runs (serving artifact — the deployable
-    # graph-free MLP; the reference's student saves nothing but text results,
-    # main.py:465-513 — this mirrors the teacher's artifact contract instead).
-    best_student = None
-    val_smax = 0.0
+    def flush_student():
+        # Persist the pending best-val student at snapshot time: resume
+        # restores val_smax, so an unflushed in-memory best would otherwise
+        # be lost for good (no later epoch re-clears the restored bar).
+        nonlocal student_dirty
+        if student_dirty and best_student is not None:
+            os.makedirs(cfg.save_dir, exist_ok=True)
+            save_checkpoint(
+                _student_ckpt_path(cfg), {"params": best_student},
+                meta=student_meta,
+            )
+            student_dirty = False
 
     for run in range(resume_run, cfg.runs):
         key = jax.random.PRNGKey(run + 1 + cfg.seed_offset)  # student: run+1
@@ -821,10 +861,11 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             if epoch % max(cfg.eval_steps, 1) != 0:
                 meter.end_epoch(ran, exclude=compiled)
                 if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                    flush_student()
                     save_run_state(
                         state_path, params=params, opt_state=opt_state, run=run,
                         epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
-                        val_max=0.0,
+                        val_max=val_smax,
                         logger_results={k: lg.results for k, lg in loggers.items()},
                     )
                 epoch += 1
@@ -853,6 +894,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
             if cfg.save_dir and val >= val_smax:
                 val_smax = val
                 best_student = jax.tree_util.tree_map(lambda a: a.copy(), params)
+                student_dirty = True
             for k, v in results.items():
                 loggers[k].add_result(run, v)
             if verbose and epoch % max(cfg.log_steps, 1) == 0:
@@ -862,10 +904,11 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                     f"({meter.edges_per_sec:.0f} edges/s)"
                 )
             if cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
+                flush_student()
                 save_run_state(
                     state_path, params=params, opt_state=opt_state, run=run,
                     epoch=epoch, best_val=best_val, cnt_wait=cnt_wait,
-                    val_max=0.0,
+                    val_max=val_smax,
                     logger_results={k: lg.results for k, lg in loggers.items()},
                 )
             if cnt_wait >= cfg.patience:
@@ -875,16 +918,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
     if best_student is not None:
         os.makedirs(cfg.save_dir, exist_ok=True)
         save_checkpoint(
-            _student_ckpt_path(cfg),
-            {"params": best_student},
-            meta=dict(
-                encoder="mlp",
-                predictor=cfg.predictor,
-                hidden_channels=cfg.hidden_channels,
-                num_layers=cfg.num_layers,
-                norm_type=cfg.norm_type,
-                in_channels=in_dim,
-            ),
+            _student_ckpt_path(cfg), {"params": best_student}, meta=student_meta
         )
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}

@@ -134,6 +134,14 @@ def make_student_epoch_fn(
     bn = min(node_batch_size, num_nodes)
     c = rw_step * hops * (1 + ns_rate)
     use_kd = (llp_d != 0.0) or (llp_r != 0.0)
+    if llp_r != 0.0 and c < 2:
+        # C(1,2) is empty — the reference would crash on an empty rank list
+        # (torch.cat([]) at main.py:201-203); fail with the actual knobs.
+        raise ValueError(
+            f"LLP_R needs at least 2 contexts per anchor to form rank pairs; "
+            f"got rw_step*hops*(1+ns_rate) = {rw_step}*{hops}*(1+{ns_rate}) "
+            f"= {c}. Increase rw_step/hops/ns_rate or set LLP_R=0."
+        )
     pairs = pair_table(c) if (llp_r != 0.0 and use_kd) else None
 
     # Memory-bounded LLP_R: with llp_r_chunk > 0 the C(C,2) pair sweep runs

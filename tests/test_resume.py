@@ -1,5 +1,7 @@
 """Checkpoint-resume of training state: a killed run continues losslessly."""
 
+import os
+
 import jax
 import numpy as np
 
@@ -109,3 +111,46 @@ def test_teacher_resume_mid_block_with_fusion(tmp_path):
     )
     # 3 per-epoch evals from the first run + evals at 4, 6, 8 after resume.
     assert len(loggers["Hits@20"].results[0]) == 6
+
+
+def test_crash_after_best_epoch_keeps_teacher_artifact(tmp_path, monkeypatch):
+    """Review finding: the best-val artifact used to live only in memory until
+    the post-loop save, while snapshots persisted val_max — a crash after the
+    best epoch left a resumed run that could finish with NO exported teacher
+    checkpoint (nothing re-clears the restored val_max). Artifacts now flush
+    at snapshot time: simulate the crash and check the artifact survives."""
+    import llp_tpu.utils.checkpoint as ckpt_mod
+    from llp_tpu.evaln.logger import RunLogger
+
+    cfg = _cfg(tmp_path, checkpoint_every=1, eval_steps=1, epochs=6)
+
+    calls = {"n": 0}
+    orig = RunLogger.add_result
+
+    def crashing_add(self, run, result):
+        calls["n"] += 1
+        if calls["n"] > 8:  # epoch 1 adds 5 results (4 Hits@K + AUC);
+            raise RuntimeError("simulated crash mid-epoch-2")
+        return orig(self, run, result)
+
+    monkeypatch.setattr(RunLogger, "add_result", crashing_add)
+    try:
+        run_teacher(cfg, verbose=False)
+        raise AssertionError("crash did not fire")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    monkeypatch.setattr(RunLogger, "add_result", orig)
+
+    # the epoch-1 snapshot must have flushed the best-val artifact
+    art = tmp_path / "saved" / "synthetic:sbm:200:3:6.0:11-sage_transductive"
+    assert (str(art) + ".npz") and os.path.exists(
+        str(art) + ".npz"
+    ), "artifact not flushed at snapshot"
+    ckpt, meta = ckpt_mod.load_checkpoint(str(art))
+    assert "params" in ckpt and "features" in ckpt and meta["val"] > 0
+
+    # resume completes and the artifact is still a loadable teacher export
+    stats, _ = run_teacher(_cfg(tmp_path, checkpoint_every=1, eval_steps=1,
+                                epochs=6, resume=True), verbose=False)
+    ckpt2, meta2 = ckpt_mod.load_checkpoint(str(art))
+    assert meta2["val"] >= meta["val"]
