@@ -65,8 +65,18 @@ def _sample_nonedges_upper(
         if forbidden.size:
             keys = keys[forbidden[idx] != keys]
         if distinct:
-            keys = np.setdiff1d(keys, out)
-            keys = np.unique(keys)
+            # Dedup in DRAW ORDER — setdiff1d/unique return SORTED keys, and
+            # truncating a sorted oversample below keeps only the smallest
+            # keys, biasing the whole set toward low node ids (a real bug
+            # this code shipped with: mean sampled endpoint measured ~N/5
+            # instead of N/3). Rejection sampling stays uniform only if
+            # survivors keep their draw order.
+            first = np.sort(np.unique(keys, return_index=True)[1])
+            keys = keys[first]
+            if out.size:
+                so = np.sort(out)
+                pos = np.clip(np.searchsorted(so, keys), 0, so.size - 1)
+                keys = keys[so[pos] != keys]
         out = np.concatenate([out, keys])[:num_samples] if keys.size else out
     if out.size < num_samples:
         raise RuntimeError("could not sample enough non-edges")

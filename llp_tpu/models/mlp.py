@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from llp_tpu.ops.rng import bernoulli_mask
+from llp_tpu.ops.rng import inverted_dropout
 from llp_tpu.models.init import apply_linear, init_linear
 from llp_tpu.models.norms import apply_norm, check_norm_type, init_norm
 
@@ -83,9 +83,7 @@ def apply_mlp(
             if train and dropout > 0.0:
                 if rng is None:
                     raise ValueError("train-mode dropout requires an rng key")
-                keep = 1.0 - dropout
-                mask = bernoulli_mask(jax.random.fold_in(rng, i), keep, h.shape)
-                h = jnp.where(mask, h / keep, jnp.zeros_like(h))
+                h = inverted_dropout(h, dropout, jax.random.fold_in(rng, i))
     if norm_type == "batch":
         return h, new_state
     return h

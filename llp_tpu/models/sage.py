@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from llp_tpu.core.graph import Graph
-from llp_tpu.ops.rng import bernoulli_mask
+from llp_tpu.ops.rng import inverted_dropout
 from llp_tpu.models.init import apply_linear, init_linear
 from llp_tpu.models.norms import apply_norm, check_norm_type, init_norm
 from llp_tpu.ops.spmm import spmm
@@ -144,9 +144,7 @@ def apply_sage(
         if train and dropout > 0.0:
             if rng is None:
                 raise ValueError("train-mode dropout requires an rng key")
-            keep = 1.0 - dropout
-            mask = bernoulli_mask(jax.random.fold_in(rng, i), keep, h.shape)
-            h = jnp.where(mask, h / keep, jnp.zeros_like(h))
+            h = inverted_dropout(h, dropout, jax.random.fold_in(rng, i))
     h = conv_fn(
         convs[-1], graph, h, impl=impl,
         x_agg=x_agg if len(convs) == 1 else None,

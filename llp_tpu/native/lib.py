@@ -86,8 +86,16 @@ def random_walks(
     for s in range(walk_length):
         deg = deg_all[cur]
         off = (rng.random(cur.shape[0]) * deg).astype(np.int64)
-        nxt = col[row_ptr[cur] + np.minimum(off, np.maximum(deg - 1, 0))]
-        cur = np.where(deg > 0, nxt, cur).astype(np.int32)
+        if col.size:
+            # clamp BEFORE the gather: for a tail isolated node
+            # row_ptr[cur] == E and the unguarded index col[E] is OOB (the
+            # where() below discards the value but numpy gathers eagerly)
+            idx = np.minimum(
+                row_ptr[cur] + np.minimum(off, np.maximum(deg - 1, 0)),
+                col.shape[0] - 1,
+            )
+            nxt = col[idx]
+            cur = np.where(deg > 0, nxt, cur).astype(np.int32)
         out[:, s + 1] = cur
     return out
 
@@ -127,8 +135,11 @@ def sample_negative_edges(
         else:
             bad_sym = np.zeros(num_samples, bool)
         keys = a * num_nodes + b
-        idx = np.clip(np.searchsorted(sorted_keys, keys), 0, max(sorted_keys.size - 1, 0))
-        bad = bad_sym | (sorted_keys.size > 0) & (sorted_keys[idx] == keys)
+        if sorted_keys.size:
+            idx = np.clip(np.searchsorted(sorted_keys, keys), 0, sorted_keys.size - 1)
+            bad = bad_sym | (sorted_keys[idx] == keys)
+        else:  # empty exclusion set: indexing it (even masked) would raise
+            bad = bad_sym
         if not bad.any():
             break
         n_bad = int(bad.sum())

@@ -18,15 +18,13 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from llp_tpu.ops.rng import bernoulli_mask
+from llp_tpu.ops.rng import inverted_dropout
 
 
 def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
     if rate <= 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = bernoulli_mask(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    return inverted_dropout(x, rate, rng)
 
 
 def hadamard_inner_score(hi: jnp.ndarray, hj: jnp.ndarray) -> jnp.ndarray:

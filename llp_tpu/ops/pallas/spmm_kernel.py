@@ -165,10 +165,13 @@ def build_tiles(
 def _make_kernel(weighted: bool):
     def kernel(rows_ref, cols_ref, *refs):
         if weighted:
-            coords_ref, w_ref, x_ref, out_ref = refs
+            coords_ref, w_ref, x_ref, _zeros_ref, out_ref = refs
         else:
-            coords_ref, x_ref, out_ref = refs
+            coords_ref, x_ref, _zeros_ref, out_ref = refs
             w_ref = None
+        # _zeros_ref is aliased to out_ref: row blocks no tile maps to keep
+        # their zero initialization (without the alias those HBM blocks are
+        # UNDEFINED on hardware — interpret mode zero-fills, hiding it).
         t = pl.program_id(1)
         coords = coords_ref[...]  # (TILE_E, 1)
         valid = coords >= 0
@@ -215,6 +218,13 @@ def _spmm_tiles_call(tiles: SpmmTiles, x_pad: jnp.ndarray, *, d_tile: int, inter
         pl.BlockSpec((TILE, d_tile), lambda d, t, rows, cols: (cols[t], d))
     )
     operands.append(x_pad)
+    # Zero-initialized buffer aliased to the output: row blocks that no tile
+    # maps to (all-residual or isolated-node stripes) get no grid step, so
+    # without the alias their HBM contents would be undefined on hardware.
+    in_specs.append(
+        pl.BlockSpec((TILE, d_tile), lambda d, t, rows, cols: (rows[t], d))
+    )
+    operands.append(jnp.zeros((tiles.n_rows_pad, d_pad), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -226,7 +236,10 @@ def _spmm_tiles_call(tiles: SpmmTiles, x_pad: jnp.ndarray, *, d_tile: int, inter
         _make_kernel(weighted),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles.n_rows_pad, d_pad), jnp.float32),
+        # zeros is the LAST operand; +2 for the scalar-prefetch args
+        input_output_aliases={2 + len(operands) - 1: 0},
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tiles.tile_rows, tiles.tile_cols, *operands)
     return out
 

@@ -26,7 +26,10 @@ import os
 import jax
 import jax.numpy as jnp
 
-_IMPL = os.environ.get("LLP_TPU_DROPOUT_RNG", "rbg")
+def _impl() -> str:
+    # Read at CALL time: the docstring invites setting the env var to
+    # reproduce old runs, which must work regardless of import order.
+    return os.environ.get("LLP_TPU_DROPOUT_RNG", "rbg")
 
 
 def _as_rbg(key: jax.Array) -> jax.Array:
@@ -39,6 +42,15 @@ def _as_rbg(key: jax.Array) -> jax.Array:
 def bernoulli_mask(key: jax.Array, p, shape) -> jax.Array:
     """Bernoulli(p) keep-mask on the fast generator. ``key`` is the usual
     threefry key (already folded for the layer/step)."""
-    if _IMPL == "rbg":
+    if _impl() == "rbg":
         key = _as_rbg(key)
     return jax.random.bernoulli(key, p, shape)
+
+
+def inverted_dropout(h: jax.Array, rate: float, key: jax.Array) -> jax.Array:
+    """Standard inverted dropout on the fast mask generator — the single
+    implementation behind every encoder/predictor dropout site (same ops in
+    the same order as the original inline copies: bit-identical streams)."""
+    keep = 1.0 - rate
+    mask = bernoulli_mask(key, keep, h.shape)
+    return jnp.where(mask, h / keep, jnp.zeros_like(h))

@@ -93,10 +93,12 @@ class CommonConfig:
                 f"epochs_per_jit={self.epochs_per_jit} must divide "
                 f"eval_steps={self.eval_steps}"
             )
-        if self.transductive == "transductive":
-            self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
-        else:
-            self.metric = "Hits@20"
+        # Dataset-forced metric, like the reference (main.py:304,315 override
+        # args.metric). collab reports Hits@{10,50,100} in BOTH settings, so
+        # its selection metric must be Hits@50 there too — the reference
+        # never ran production collab; a literal copy would KeyError on a
+        # metric it never computes.
+        self.metric = "Hits@50" if self.datasets == "collab" else "Hits@20"
         if self.spmm_impl == "auto":
             import jax
 

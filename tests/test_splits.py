@@ -204,3 +204,20 @@ def test_registry_all_eight_reference_datasets_resolve():
         n, d = _REAL_SHAPES[name][0], _REAL_SHAPES[name][1]
         assert ds.x.shape == (n, d)
         assert ds.edge_index.max() < n
+
+
+def test_nonedge_sampler_is_uniform():
+    """Review finding: sorted-key truncation biased val/test negatives toward
+    low node ids (mean min-endpoint ~N/5). Uniform i<j pairs have mean
+    min-endpoint ~N/3."""
+    import numpy as np
+
+    from llp_tpu.data.splits import _sample_nonedges_upper
+
+    rng = np.random.default_rng(0)
+    n, s = 10000, 5000
+    pairs = _sample_nonedges_upper(rng, s, n, np.zeros((0,), np.int64))
+    lo = pairs.min(axis=0)
+    assert abs(lo.mean() - n / 3) < 0.03 * n, f"biased: mean {lo.mean()}"
+    keys = pairs[0].astype(np.int64) * n + pairs[1]
+    assert len(np.unique(keys)) == s and (pairs[0] < pairs[1]).all()
