@@ -94,8 +94,16 @@ def setup_device(spec: str) -> None:
     raise SystemExit(f"unknown --device {spec!r}")
 
 
-def config_from_args(cls, args: argparse.Namespace, rename: dict):
-    """Build a config dataclass from parsed args (+ optional YAML base)."""
+def config_from_args(cls, args: argparse.Namespace, rename: dict,
+                     defaults: dict | None = None):
+    """Build a config dataclass from parsed args (+ optional YAML base).
+
+    Precedence: explicit CLI flag > YAML > CLI default. ``defaults`` (the
+    parser's own defaults, e.g. ``vars(p.parse_args([]))``) lets untouched
+    CLI defaults yield to YAML values — without it every default would
+    silently clobber the --config file and the YAML layer would be dead for
+    any field that also has a flag.
+    """
     names = {f.name for f in dataclasses.fields(cls)}
     d = {}
     if args.config:
@@ -105,6 +113,14 @@ def config_from_args(cls, args: argparse.Namespace, rename: dict):
             d.update(yaml.safe_load(f) or {})
     for k, v in vars(args).items():
         k2 = rename.get(k, k)
-        if k2 in names:
-            d[k2] = v
+        if k2 not in names:
+            continue
+        if (
+            defaults is not None
+            and k2 in d
+            and k in defaults
+            and v == defaults[k]
+        ):
+            continue  # flag not set by the user: keep the YAML value
+        d[k2] = v
     return cls(**{k: v for k, v in d.items() if k in names})

@@ -88,6 +88,11 @@ def main(argv=None):
         # GNN teacher: serve the checkpointed best-val embeddings.
         h = jnp.asarray(feats)
     else:
+        if is_gnn:
+            raise SystemExit(
+                "GNN checkpoint has no saved features — pass --reencode to "
+                "embed over the dataset's edge set"
+            )
         ds = get_dataset(args.dataset_dir, args.datasets)
         h = encode_nodes(
             params["encoder"], jnp.asarray(ds.x),
@@ -101,6 +106,12 @@ def main(argv=None):
 
     if args.topk and args.queries:
         qi = np.array([int(s) for s in args.queries.split(",")], np.int32)
+        if qi.size and (qi.min() < 0 or qi.max() >= h.shape[0]):
+            raise SystemExit(
+                f"--queries out of range: table has {h.shape[0]} nodes "
+                f"(got min {qi.min()}, max {qi.max()}); XLA gather would "
+                f"silently clamp"
+            )
         t0 = time.perf_counter()
         vals, ids = top_k_partners(
             params["predictor"], h, qi, k=args.topk, mode=mode,
@@ -123,6 +134,12 @@ def main(argv=None):
         se = [s.split(":") for s in args.pairs.split(",")]
         src = np.array([int(a) for a, _ in se], np.int32)
         dst = np.array([int(b) for _, b in se], np.int32)
+        both = np.concatenate([src, dst])
+        if both.size and (both.min() < 0 or both.max() >= h.shape[0]):
+            raise SystemExit(
+                f"--pairs out of range: table has {h.shape[0]} nodes "
+                f"(got min {both.min()}, max {both.max()})"
+            )
         t0 = time.perf_counter()
         scores = np.asarray(score_pairs(params["predictor"], h, src, dst, mode=mode))
         out["score_s"] = round(time.perf_counter() - t0, 4)

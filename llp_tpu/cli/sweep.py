@@ -40,7 +40,11 @@ def sample_params(parameters: dict, rng: random.Random) -> dict:
         else:
             dist = spec.get("distribution", "uniform")
             lo, hi = spec["min"], spec["max"]
-            if dist in ("log_uniform", "log_uniform_values"):
+            if dist == "log_uniform":
+                # W&B semantics: bounds are IN LOG SPACE (exp(U[lo, hi]));
+                # *_values is the value-space variant below.
+                out[name] = math.exp(rng.uniform(lo, hi))
+            elif dist == "log_uniform_values":
                 out[name] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
             elif dist == "int_uniform":
                 out[name] = rng.randint(int(lo), int(hi))

@@ -41,6 +41,7 @@ def main(argv=None):
     cfg = config_from_args(
         StudentConfig,
         args,
+        defaults=vars(p.parse_args([])),
         rename={
             "True_label": "true_label",
             "KD_RM": "kd_rm",

@@ -23,7 +23,9 @@ def main(argv=None):
     from llp_tpu.train.loop import run_teacher
     from llp_tpu.utils.config import TeacherConfig
 
-    cfg = config_from_args(TeacherConfig, args, rename={})
+    cfg = config_from_args(
+        TeacherConfig, args, rename={}, defaults=vars(p.parse_args([]))
+    )
     stats, _ = run_teacher(cfg)
     return stats
 

@@ -1,3 +1,3 @@
-from llp_tpu.core.graph import Graph, build_graph, pad_edges, round_up
+from llp_tpu.core.graph import Graph, build_graph, round_up
 
-__all__ = ["Graph", "build_graph", "pad_edges", "round_up"]
+__all__ = ["Graph", "build_graph", "round_up"]

@@ -91,19 +91,6 @@ class Graph:
         return int(self.senders.shape[0])
 
 
-def pad_edges(edge_index: np.ndarray, e_pad: int):
-    """Pad a (2, E) int edge list to (2, e_pad) with zeros + boolean mask."""
-    edge_index = np.asarray(edge_index, dtype=np.int32)
-    e = edge_index.shape[1]
-    if e > e_pad:
-        raise ValueError(f"e_pad={e_pad} smaller than edge count {e}")
-    out = np.zeros((2, e_pad), dtype=np.int32)
-    out[:, :e] = edge_index
-    mask = np.zeros((e_pad,), dtype=bool)
-    mask[:e] = True
-    return out[0], out[1], mask
-
-
 def build_graph(
     edge_index: np.ndarray,
     num_nodes: int,

@@ -37,7 +37,6 @@ the per-device predictor dropout masks draw at local shapes.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -186,7 +185,6 @@ def make_sharded_teacher_epoch_fn(
     ``segsum_layouts`` from ``build_shard_layouts(graph, mesh size)`` routes
     each device's local aggregation through the windowed Pallas kernel.
     """
-    import numpy as np
 
     ndev = int(mesh.shape[axis])
     e = num_pos_edges
@@ -384,7 +382,6 @@ def make_halo_teacher_epoch_fn(
     ``norm_type='batch'`` needs cross-device batch statistics and is
     rejected.
     """
-    import numpy as np
     from types import SimpleNamespace
 
     from llp_tpu.parallel.halo import halo_spmm_local, plan_args

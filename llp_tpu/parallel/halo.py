@@ -61,6 +61,12 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
     planning a 2M-edge collab-scale graph takes milliseconds, not the tens
     of seconds the dict-based remap would.
     """
+    if not graph.receiver_sorted:
+        raise ValueError(
+            "build_halo_partition requires the canonical receiver-sorted "
+            "edge order (build_graph produces it); an unsorted Graph would "
+            "silently corrupt the per-owner plans"
+        )
     n = graph.num_nodes
     p_ = num_shards
     n_per = -(-n // p_)

@@ -36,6 +36,13 @@ def shard_edges(graph: Graph, n_shards: int) -> Graph:
     with ``P('data')``; CSR stays replicated (it feeds the random-walk sampler,
     which is anchor-sharded rather than edge-sharded).
     """
+    if not graph.receiver_sorted:
+        raise ValueError(
+            "shard_edges requires the canonical receiver-sorted edge order "
+            "(build_graph produces it): every sharded aggregation passes "
+            "indices_are_sorted=True, which silently corrupts results on an "
+            "unsorted Graph"
+        )
     import numpy as onp
 
     e_pad = graph.num_padded_edges

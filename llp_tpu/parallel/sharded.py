@@ -34,7 +34,7 @@ from jax import shard_map
 from llp_tpu.models.init import apply_linear
 from llp_tpu.models.predictor import apply_link_predictor
 from llp_tpu.ops.losses import bce_loss
-from llp_tpu.sample.walk import random_walk
+from llp_tpu.sample.walk import sample_contexts
 from llp_tpu.train.optim import adam_update, clip_by_group_norm
 
 
@@ -276,6 +276,7 @@ def make_sharded_student_step(
     rw_step: int = 3,
     hops: int = 2,
     ns_rate: int = 1,
+    ps_method: str = "nb",
     axis: str = "data",
 ):
     """One DP student KD step: anchors + link batch sharded, features/teacher
@@ -301,19 +302,10 @@ def make_sharded_student_step(
         me = jax.lax.axis_index(axis)
         k_ctx = jax.random.fold_in(k_ctx, me)
         k_pred = jax.random.fold_in(k_pred, me)
-        walks = []
-        for i in range(rw_step):
-            w = random_walk(jax.random.fold_in(k_ctx, i), graph, anchors, hops)
-            walks.append(w if i == 0 else w[:, 1:])
-        posctx = jnp.concatenate(walks, axis=1)
-        negctx = jax.random.randint(
-            jax.random.fold_in(k_ctx, 99),
-            (anchors.shape[0], rw_step * hops * ns_rate),
-            0,
-            num_nodes,
-            dtype=jnp.int32,
+        samples = sample_contexts(
+            k_ctx, graph, anchors, ps_method=ps_method,
+            step=rw_step, hops=hops, ns_rate=ns_rate,
         )
-        samples = jnp.concatenate([posctx, negctx], axis=1)
 
         h = apply_mlp(params["encoder"], x, dropout=dropout, train=True, rng=k_drop)
         anchor_h = jnp.take(h, samples[:, 0], axis=0)

@@ -170,3 +170,26 @@ def test_cli_checkpoint_resume_flags(tmp_path):
     )
     assert os.path.exists(str(state) + ".npz")
     teacher_main(common + ["--epochs=4", "--resume"])
+
+
+def test_yaml_config_vs_cli_precedence(tmp_path):
+    """Review finding: untouched argparse defaults must NOT clobber YAML
+    values (explicit flag > YAML > CLI default)."""
+    import argparse
+
+    from llp_tpu.cli.common import add_common_flags, config_from_args
+    from llp_tpu.utils.config import TeacherConfig
+
+    p = argparse.ArgumentParser()
+    add_common_flags(p)
+    p.add_argument("--batch_size", type=int, default=64 * 1024)
+    p.add_argument("--runs", type=int, default=5)
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text("lr: 0.001\nhidden_channels: 99\n")
+    args = p.parse_args([f"--config={cfg_file}", "--hidden_channels=128"])
+    cfg = config_from_args(
+        TeacherConfig, args, rename={}, defaults=vars(p.parse_args([]))
+    )
+    assert cfg.lr == 0.001          # YAML beats the untouched default
+    assert cfg.hidden_channels == 128  # explicit flag beats YAML
+    assert cfg.dropout == 0.5       # default survives where YAML is silent
