@@ -29,7 +29,8 @@ def test_bernoulli_mask_marginal_rate():
 
 def test_bernoulli_mask_threefry_fallback(monkeypatch):
     k = jax.random.PRNGKey(7)
-    monkeypatch.setattr(rng_mod, "_IMPL", "threefry")
+    # env var read at CALL time (session-7 fix) — set it like a user would
+    monkeypatch.setenv("LLP_TPU_DROPOUT_RNG", "threefry")
     m = rng_mod.bernoulli_mask(k, 0.5, (64, 32))
     np.testing.assert_array_equal(
         np.asarray(m), np.asarray(jax.random.bernoulli(k, 0.5, (64, 32)))
