@@ -24,7 +24,7 @@ parallel  mesh setup, edge-partitioned sharded SpMM, DP train steps
 utils     config, checkpointing, logging
 """
 
-__version__ = "0.1.0"
+__version__ = "0.7.0"  # keep in sync with pyproject.toml
 
 # Persistent XLA compilation cache: compiles of the big scan-per-epoch
 # programs are expensive (remote Mosaic service on axon); cache them across
