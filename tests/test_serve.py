@@ -145,6 +145,33 @@ def test_serve_cli_end_to_end(tmp_path):
     ])
     assert out["nodes"] == 150 and out["pairs_scored_per_s"] > 0
 
+    # --approx + --compute_dtype plumb through (ApproxTopK exact on CPU)
+    out_a = serve_main([
+        f"--checkpoint={ckpt}",
+        "--datasets=synthetic:sbm:150:3:6.0:9",
+        f"--dataset_dir={tmp_path}",
+        "--device=cpu",
+        "--topk=5",
+        "--queries=0,7",
+        "--block=64",
+        "--approx",
+        "--compute_dtype=bfloat16",
+    ])
+    assert out_a["nodes"] == 150
+
+    # out-of-range queries error instead of silently clamping
+    import pytest
+
+    with pytest.raises(SystemExit, match="out of range"):
+        serve_main([
+            f"--checkpoint={ckpt}",
+            "--datasets=synthetic:sbm:150:3:6.0:9",
+            f"--dataset_dir={tmp_path}",
+            "--device=cpu",
+            "--topk=3",
+            "--queries=99999",
+        ])
+
     # Teacher checkpoint: saved-features serving AND inductive re-encode.
     tckpt = f"{tmp_path}/saved/synthetic:sbm:150:3:6.0:9-sage_transductive"
     for extra in ([], ["--reencode"]):
