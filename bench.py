@@ -50,9 +50,7 @@ def bench_tpu(ei: np.ndarray, x: np.ndarray) -> float:
     pos_edges = jnp.asarray(ei.T.astype(np.int32))
     neg_keys = jnp.zeros((1,), jnp.int32)
 
-    import jax as _jax
-
-    impl = "segsum" if _jax.default_backend() in ("tpu", "axon") else "xla"
+    impl = "segsum" if jax.default_backend() in ("tpu", "axon") else "xla"
     if impl == "segsum":
         from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
 

@@ -10,10 +10,18 @@ import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+m = __import__("re").search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+if m is None:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+elif int(m.group(1)) < 8:
+    # A smaller pre-existing count (e.g. exported for a dryrun) would make
+    # every 8-device-gated test SKIP and the multi-chip suite pass by
+    # omission — force at least 8.
+    os.environ["XLA_FLAGS"] = flags.replace(
+        m.group(0), "--xla_force_host_platform_device_count=8"
+    )
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/llp-jax-cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -36,7 +44,6 @@ def rng():
 @pytest.fixture
 def small_graph():
     """A small random undirected graph + dense adjacency reference."""
-    import numpy as np
     from llp_tpu.core import build_graph
     from llp_tpu.data.synthetic import sbm_graph
 

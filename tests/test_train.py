@@ -249,7 +249,7 @@ def test_run_student_epochs_per_jit_equivalent(tmp_path):
 
 
 def test_student_llp_r_chunked_matches_unchunked():
-    # rw_step=2, hops=2, ns_rate=1 -> C=12, C(C,2)=66 pairs; chunk=20 pads the
+    # rw_step=2, hops=2, ns_rate=1 -> C=8, C(C,2)=28 pairs; chunk=20 pads the
     # last chunk. Same keys => identical term sets; only summation order moves.
     g, x, pos, keys = _problem()
     t_h = jnp.asarray(
