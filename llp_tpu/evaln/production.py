@@ -33,10 +33,14 @@ def make_production_eval_fn(
     norm_type: str = "none",
 ):
     """Returns jitted ``eval_fn(params, val_graph, val_x, inf_graph, inf_x,
-    val_pos, val_neg, test_edges) -> (results, h_val)``.
+    val_pos, val_neg, test_edges[, val_x_agg, inf_x_agg]) -> (results, h_val)``.
 
     ``test_edges`` is a dict with (M, 2) arrays: 'merged', 'old_old',
     'old_new', 'new_new', 'neg' (the shared global negatives).
+
+    ``val_x_agg`` / ``inf_x_agg``: optional precomputed layer-1 aggregations
+    of the two (run-invariant) feature matrices over their message graphs —
+    the driver computes them once so each eval skips both layer-1 SpMMs.
     """
     ks = tuple(hits_ks)
 
@@ -45,10 +49,11 @@ def make_production_eval_fn(
     score = make_score(predictor_mode)
 
     @jax.jit
-    def eval_fn(params, val_graph, val_x, inf_graph, inf_x, val_pos, val_neg, test_edges):
+    def eval_fn(params, val_graph, val_x, inf_graph, inf_x, val_pos, val_neg,
+                test_edges, val_x_agg=None, inf_x_agg=None):
         h_val = apply_encoder(
             encoder, params["encoder"], val_graph, val_x, train=False, conv=conv,
-            norm_type=norm_type, impl=spmm_impl,
+            norm_type=norm_type, impl=spmm_impl, x_agg=val_x_agg,
         )
         if norm_type == "batch":
             h_val, _ = h_val  # eval mode: running buffers used, not updated
@@ -57,7 +62,7 @@ def make_production_eval_fn(
 
         h_inf = apply_encoder(
             encoder, params["encoder"], inf_graph, inf_x, train=False, conv=conv,
-            norm_type=norm_type, impl=spmm_impl,
+            norm_type=norm_type, impl=spmm_impl, x_agg=inf_x_agg,
         )
         if norm_type == "batch":
             h_inf, _ = h_inf

@@ -33,8 +33,15 @@ def make_transductive_eval_fn(
     norm_type: str = "none",
 ):
     """Returns jitted ``eval_fn(params, graph, x, valid_pos, valid_neg,
-    test_pos, test_neg) -> (results, h)`` with edge arrays (M, 2) int32 and
-    ``results`` a dict: 'Hits@K'/'AUC' -> (valid, test) float scalars."""
+    test_pos, test_neg[, x_agg]) -> (results, h)`` with edge arrays (M, 2)
+    int32 and ``results`` a dict: 'Hits@K'/'AUC' -> (valid, test) float
+    scalars.
+
+    ``x_agg``: optional precomputed layer-1 aggregation of ``x`` over
+    ``graph`` (:func:`llp_tpu.models.encoder.precompute_first_aggregation`).
+    The eval inputs (x, message graph) never change across a run, so the
+    driver computes this ONCE and every eval call skips its layer-1 SpMM —
+    exact, same hoist as the training epoch programs."""
 
     ks = tuple(hits_ks)
 
@@ -43,10 +50,11 @@ def make_transductive_eval_fn(
     score = make_score(predictor_mode)
 
     @jax.jit
-    def eval_fn(params, graph, x, valid_pos, valid_neg, test_pos, test_neg):
+    def eval_fn(params, graph, x, valid_pos, valid_neg, test_pos, test_neg,
+                x_agg=None):
         h = apply_encoder(
             encoder, params["encoder"], graph, x, train=False, conv=conv,
-            norm_type=norm_type, impl=spmm_impl,
+            norm_type=norm_type, impl=spmm_impl, x_agg=x_agg,
         )
         if norm_type == "batch":
             h, _ = h  # eval mode: running buffers used, not updated

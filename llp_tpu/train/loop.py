@@ -246,6 +246,30 @@ def _advance_epochs(epoch, epochs, block, block_fn, epoch_fn, key, params,
     return params, opt_state, loss, 1, epoch, compiled
 
 
+def _eval_first_agg(cfg, conv, in_dim, graph, x, n_evals):
+    """Precompute the layer-1 aggregation the eval encode would otherwise redo
+    every call.  The eval message graph and features never change within a run
+    (or across runs), so one width-D SpMM up front replaces one per eval —
+    same exact hoist as the training epoch programs (agg commutes with the
+    layer weights), gated by the same profitability/memory rule with
+    ``n_evals`` in place of the step count."""
+    from llp_tpu.models.encoder import precompute_first_aggregation
+    from llp_tpu.train.teacher import should_hoist_first_agg
+
+    if cfg.encoder == "mlp" or graph is None:
+        return None
+    if not should_hoist_first_agg(
+        cfg.encoder, conv, in_dim, cfg.hidden_channels,
+        graph.num_padded_edges, max(n_evals, 1),
+    ):
+        return None
+    return jax.jit(
+        lambda g, feats: precompute_first_aggregation(
+            cfg.encoder, g, feats, conv=conv, impl=cfg.spmm_impl
+        )
+    )(graph, x)
+
+
 def _teacher_ckpt_path(cfg) -> str:
     return os.path.join(
         cfg.save_dir, f"{cfg.datasets}-{cfg.encoder}_{cfg.transductive}"
@@ -397,6 +421,24 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 )
                 return results, h[:n_val]
 
+        else:
+            n_evals = (
+                max_epochs if max_epochs is not None else cfg.epochs
+            ) // max(cfg.eval_steps, 1)
+            val_agg = _eval_first_agg(
+                cfg, conv, in_dim, data["graph"], data["x"], n_evals
+            )
+            inf_agg = _eval_first_agg(
+                cfg, conv, in_dim, data["inf_graph"], data["inf_x"], n_evals
+            )
+            if val_agg is not None or inf_agg is not None:
+                base_prod_eval = eval_fn
+
+                def eval_fn(params, vg, vx, ig, ix, vp, vn, te):
+                    return base_prod_eval(
+                        params, vg, vx, ig, ix, vp, vn, te, val_agg, inf_agg
+                    )
+
         loggers = {f"Hits@{k}": ProductionRunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = ProductionRunLogger(cfg.runs)
     else:
@@ -438,6 +480,25 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 fn, xs, ds = halo_evals[id(graph)]
                 results, h = fn(params, xs, ds, vp, vn, tp, tn)
                 return results, h[: graph.num_nodes]
+
+        else:
+            n_evals = (
+                max_epochs if max_epochs is not None else cfg.epochs
+            ) // max(cfg.eval_steps, 1)
+            eval_aggs = {}
+            for g in (data["graph"], data.get("eval_graph")):
+                if g is not None and id(g) not in eval_aggs:
+                    agg = _eval_first_agg(cfg, conv, in_dim, g, data["x"], n_evals)
+                    if agg is not None:
+                        eval_aggs[id(g)] = agg
+            if eval_aggs:
+                base_trans_eval = eval_fn
+
+                def eval_fn(params, graph, x, vp, vn, tp, tn):
+                    return base_trans_eval(
+                        params, graph, x, vp, vn, tp, tn,
+                        eval_aggs.get(id(graph)),
+                    )
 
         loggers = {f"Hits@{k}": RunLogger(cfg.runs) for k in cfg.hits_ks}
         loggers["AUC"] = RunLogger(cfg.runs)

@@ -183,3 +183,99 @@ def test_hoist_profitability_gate():
         lambda p_, s_: epoch_fn(p_, s_, jax.random.PRNGKey(1), g, x, pos, keys)
     )(params, tx.init(params))
     assert "f32[120,512]" not in str(jaxpr).split("scan")[0].replace(" ", "")
+
+
+@pytest.mark.parametrize("encoder", ["sage", "gcn"])
+def test_transductive_eval_with_x_agg_matches(rng, encoder):
+    """Eval-side hoist: passing a precomputed layer-1 aggregation to the
+    transductive evaluator reproduces the plain eval exactly (the driver
+    computes it once per run instead of once per eval call)."""
+    from llp_tpu.evaln.transductive import make_transductive_eval_fn
+    from llp_tpu.train.teacher import init_teacher_params
+
+    g, x = _graph_with_isolated(rng)
+    params = init_teacher_params(
+        jax.random.PRNGKey(3), encoder=encoder, in_channels=16,
+        hidden_channels=24, num_layers=2, predictor_mode="mlp",
+    )
+    mk = lambda m, s: jnp.asarray(
+        np.random.default_rng(s).integers(0, 50, size=(m, 2)), jnp.int32
+    )
+    vp, vn, tp, tn = mk(20, 0), mk(30, 1), mk(20, 2), mk(30, 3)
+    eval_fn = make_transductive_eval_fn(
+        encoder=encoder, predictor_mode="mlp", hits_ks=(10, 20)
+    )
+    r_ref, h_ref = eval_fn(params, g, x, vp, vn, tp, tn)
+    x_agg = precompute_first_aggregation(encoder, g, x)
+    r_hoist, h_hoist = eval_fn(params, g, x, vp, vn, tp, tn, x_agg)
+    for k in r_ref:
+        np.testing.assert_allclose(
+            np.asarray(r_hoist[k]), np.asarray(r_ref[k]), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_hoist), np.asarray(h_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_production_eval_with_x_agg_matches(rng):
+    """Eval-side hoist for the production evaluator: both encodes (val graph
+    and inference graph) accept precomputed aggregations, exactly."""
+    from llp_tpu.evaln.production import make_production_eval_fn
+    from llp_tpu.train.teacher import init_teacher_params
+
+    n_old, n_all = 47, 71
+    ei_v = np.stack([np.arange(n_old - 1), np.arange(1, n_old)]).astype(np.int64)
+    ei_i = np.stack([np.arange(n_all - 1), np.arange(1, n_all)]).astype(np.int64)
+    g_val, g_inf = build_graph(ei_v, n_old), build_graph(ei_i, n_all)
+    x_val = jnp.asarray(rng.normal(size=(n_old, 16)).astype(np.float32))
+    x_inf = jnp.asarray(rng.normal(size=(n_all, 16)).astype(np.float32))
+    params = init_teacher_params(
+        jax.random.PRNGKey(4), encoder="sage", in_channels=16,
+        hidden_channels=24, num_layers=2, predictor_mode="mlp",
+    )
+    r = np.random.default_rng(5)
+    mkv = lambda m: jnp.asarray(r.integers(0, n_old, size=(m, 2)), jnp.int32)
+    mki = lambda m: jnp.asarray(r.integers(0, n_all, size=(m, 2)), jnp.int32)
+    vp, vn = mkv(15), mkv(25)
+    test_edges = {
+        "merged": mki(30), "old_old": mki(10), "old_new": mki(10),
+        "new_new": mki(10), "neg": mki(40),
+    }
+    eval_fn = make_production_eval_fn(
+        encoder="sage", predictor_mode="mlp", hits_ks=(10, 20)
+    )
+    r_ref, h_ref = eval_fn(params, g_val, x_val, g_inf, x_inf, vp, vn, test_edges)
+    va = precompute_first_aggregation("sage", g_val, x_val)
+    ia = precompute_first_aggregation("sage", g_inf, x_inf)
+    r_hoist, h_hoist = eval_fn(
+        params, g_val, x_val, g_inf, x_inf, vp, vn, test_edges, va, ia
+    )
+    for k in r_ref:
+        np.testing.assert_allclose(
+            np.asarray(r_hoist[k]), np.asarray(r_ref[k]), rtol=1e-6, atol=1e-7
+        )
+    np.testing.assert_allclose(
+        np.asarray(h_hoist), np.asarray(h_ref), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_driver_eval_first_agg_gating():
+    """The driver helper hoists for agg-then-linear SAGE, skips the MLP
+    encoder, and respects the D>>H unprofitability gate for sage_updated."""
+    from llp_tpu.train.loop import _eval_first_agg
+    from llp_tpu.utils.config import TeacherConfig
+
+    ei, _ = sbm_graph(60, 3, 4.0, seed=11)
+    g = build_graph(ei, 60)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(60, 16)), jnp.float32
+    )
+    cfg = TeacherConfig(datasets="synthetic:sbm:60:3:4.0", encoder="sage",
+                        hidden_channels=8, spmm_impl="xla")
+    agg = _eval_first_agg(cfg, "sage", 16, g, x, n_evals=1)
+    assert agg is not None and agg.shape == x.shape
+    cfg_mlp = TeacherConfig(datasets="synthetic:sbm:60:3:4.0", encoder="mlp",
+                            spmm_impl="xla")
+    assert _eval_first_agg(cfg_mlp, "sage", 16, g, x, n_evals=5) is None
+    # linear-then-aggregate with D far above n_evals * H: unprofitable
+    assert _eval_first_agg(cfg, "sage_updated", 10_000, g, x, n_evals=2) is None
