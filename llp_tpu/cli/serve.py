@@ -47,6 +47,12 @@ def main(argv=None):
                    help="GNN checkpoints: re-encode over the dataset's full "
                         "edge set (inductive serving) instead of serving the "
                         "checkpointed best-val features")
+    p.add_argument("--port", type=int, default=None,
+                   help="run as a persistent HTTP/JSON daemon on this port "
+                        "(0 = auto-pick) instead of answering one batch: "
+                        "GET /healthz, POST /v1/topk {queries,k}, "
+                        "POST /v1/score {pairs}")
+    p.add_argument("--host", type=str, default="127.0.0.1")
     args = p.parse_args(argv)
 
     from llp_tpu.cli.common import setup_device
@@ -103,6 +109,20 @@ def main(argv=None):
 
     out = {"checkpoint": args.checkpoint, "nodes": int(h.shape[0]),
            "dim": int(h.shape[1]), "encode_s": round(t_encode, 4)}
+
+    if args.port is not None:
+        # Daemon mode: encode once (above), answer queries until killed.
+        from llp_tpu.serve.server import ServingState, serve_forever
+
+        state = ServingState(
+            params["predictor"], h, mode=mode, block=args.block,
+            approx=args.approx,
+            compute_dtype=(jnp.bfloat16
+                           if args.compute_dtype == "bfloat16" else None),
+        )
+        print(json.dumps(out), flush=True)
+        serve_forever(state, args.host, args.port)
+        return out
 
     if args.topk and args.queries:
         qi = np.array([int(s) for s in args.queries.split(",")], np.int32)

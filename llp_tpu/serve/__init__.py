@@ -4,3 +4,8 @@ from llp_tpu.serve.engine import (  # noqa: F401
     score_pairs,
     top_k_partners,
 )
+from llp_tpu.serve.server import (  # noqa: F401
+    BackgroundServer,
+    ServingState,
+    serve_forever,
+)

@@ -1,0 +1,215 @@
+"""Persistent link-prediction serving daemon (HTTP/JSON over the warm engine).
+
+The reference ships no inference process at all (SURVEY §1: two training
+scripts, nothing serves the distilled student).  The one-shot CLI
+(``llp_tpu.cli.serve``) answers a single query batch and exits — every
+invocation pays process start-up, checkpoint load, encode, and jit compiles.
+This module is the long-lived counterpart: load + encode ONCE, keep the jit
+cache warm, and answer queries until shut down.
+
+TPU-shaped details:
+
+* **Static-shape request bucketing** — query/pair batches are padded up to
+  the next power of two before hitting the jitted retrieval/scoring programs,
+  so arbitrary request sizes reuse a logarithmic number of compiled programs
+  instead of recompiling per length (XLA recompiles on any shape change).
+* **Single-threaded device access** — requests are served sequentially
+  (stdlib ``HTTPServer``); a TPU chip is a single-client resource and the
+  engine programs already batch internally, so concurrency belongs in the
+  batch dimension, not in threads.
+
+Endpoints (all JSON):
+
+* ``GET  /healthz``                         -> table metadata + request count
+* ``POST /v1/topk``  {"queries": [int...], "k": int}
+                                            -> per-query partners + scores
+* ``POST /v1/score`` {"pairs": [[src, dst]...]} -> pair probabilities
+
+No third-party dependencies: stdlib ``http.server`` + ``json`` only.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+MAX_BODY_BYTES = 16 << 20  # reject absurd request bodies before parsing
+
+
+def _bucket(n: int, floor: int = 8) -> int:
+    """Next power of two ≥ n (≥ floor): logarithmically many jit shapes."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+class ServingState:
+    """Owns the embedding table + predictor and answers padded queries."""
+
+    def __init__(self, predictor_params, h, *, mode: str = "mlp",
+                 block: int = 4096, approx: bool = False, compute_dtype=None,
+                 fused: bool = False):
+        self.params = predictor_params
+        self.h = h
+        self.mode = mode
+        self.block = block
+        self.approx = approx
+        self.compute_dtype = compute_dtype
+        self.fused = fused
+        self.num_nodes = int(h.shape[0])
+        self.dim = int(h.shape[1])
+        self.requests = 0
+
+    def _check_ids(self, ids: np.ndarray, what: str):
+        if ids.size == 0:
+            raise ValueError(f"{what}: empty id list")
+        if ids.min() < 0 or ids.max() >= self.num_nodes:
+            raise ValueError(
+                f"{what} out of range: table has {self.num_nodes} nodes "
+                f"(got min {ids.min()}, max {ids.max()})"
+            )
+
+    def topk(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        from llp_tpu.serve.engine import top_k_partners
+
+        qi = np.asarray(queries, np.int32).reshape(-1)
+        self._check_ids(qi, "queries")
+        if not 1 <= k <= self.num_nodes - 1:
+            raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
+        q = qi.size
+        qp = np.zeros((_bucket(q),), np.int32)
+        qp[:q] = qi  # pad with node 0: same program shape for any |queries|
+        vals, ids = top_k_partners(
+            self.params, self.h, qp, k=k, mode=self.mode, block=self.block,
+            approx=self.approx, compute_dtype=self.compute_dtype,
+        )
+        return np.asarray(vals)[:q], np.asarray(ids)[:q]
+
+    def score(self, pairs) -> np.ndarray:
+        from llp_tpu.serve.engine import score_pairs
+
+        arr = np.asarray(pairs, np.int32)
+        if arr.ndim != 2 or arr.shape[1] != 2:
+            raise ValueError("pairs must be a list of [src, dst] id pairs")
+        self._check_ids(arr.reshape(-1), "pairs")
+        m = arr.shape[0]
+        pp = np.zeros((_bucket(m), 2), np.int32)
+        pp[:m] = arr
+        out = score_pairs(
+            self.params, self.h, pp[:, 0], pp[:, 1], mode=self.mode,
+            fused=self.fused,
+        )
+        return np.asarray(out)[:m]
+
+
+def _make_handler(state: ServingState):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet: no per-request stderr lines
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok", "nodes": state.num_nodes,
+                    "dim": state.dim, "mode": state.mode,
+                    "requests": state.requests,
+                })
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self._reply(413, {"error": "request body too large"})
+                return
+            try:
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError as e:
+                self._reply(400, {"error": f"bad JSON: {e}"})
+                return
+            try:
+                if self.path == "/v1/topk":
+                    vals, ids = state.topk(
+                        req.get("queries", []), int(req.get("k", 10))
+                    )
+                    state.requests += 1
+                    self._reply(200, {"results": [
+                        {"query": int(q), "partners": row_i.tolist(),
+                         "scores": [round(float(v), 6) for v in row_v]}
+                        for q, row_v, row_i in zip(
+                            req.get("queries", []), vals, ids)
+                    ]})
+                elif self.path == "/v1/score":
+                    scores = state.score(req.get("pairs", []))
+                    state.requests += 1
+                    self._reply(200, {
+                        "scores": [round(float(v), 6) for v in scores]
+                    })
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except (ValueError, TypeError, KeyError) as e:
+                self._reply(400, {"error": str(e)})
+
+    return Handler
+
+
+def make_server(state: ServingState, host: str = "127.0.0.1",
+                port: int = 0) -> HTTPServer:
+    """Bind (but don't start) the daemon; ``server.server_port`` has the
+    actual port when ``port=0``."""
+    return HTTPServer((host, port), _make_handler(state))
+
+
+def serve_forever(state: ServingState, host: str = "127.0.0.1",
+                  port: int = 8080, *,
+                  ready_line: bool = True) -> None:
+    """Run the daemon until interrupted (the CLI ``--port`` entry)."""
+    srv = make_server(state, host, port)
+    if ready_line:
+        print(json.dumps({
+            "serving": f"http://{host}:{srv.server_port}",
+            "nodes": state.num_nodes, "dim": state.dim, "mode": state.mode,
+        }), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+class BackgroundServer:
+    """Thread-hosted server for tests / embedding in another process."""
+
+    def __init__(self, state: ServingState, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.server = make_server(state, host, port)
+        self.port = self.server.server_port
+        self._thread: Optional[threading.Thread] = None
+
+    def __enter__(self):
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)

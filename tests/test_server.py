@@ -1,0 +1,205 @@
+"""Serving daemon (llp_tpu/serve/server.py): HTTP/JSON over the warm engine.
+
+The daemon is the long-lived deployment surface the reference never ships —
+these tests pin (a) HTTP answers == direct engine calls, (b) static-shape
+request bucketing (arbitrary batch sizes share compiled programs), (c) input
+validation surfaces as 400s instead of silent XLA clamping.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llp_tpu.models.mlp import init_mlp
+from llp_tpu.models.predictor import init_link_predictor
+from llp_tpu.serve import BackgroundServer, ServingState, top_k_partners
+from llp_tpu.serve.engine import score_pairs
+from llp_tpu.serve.server import _bucket
+
+
+@pytest.fixture(scope="module")
+def served():
+    n, hdim = 100, 16
+    key = jax.random.PRNGKey(0)
+    h = jax.random.normal(jax.random.fold_in(key, 1), (n, hdim), jnp.float32)
+    params = init_link_predictor(jax.random.fold_in(key, 2), "mlp",
+                                 hdim, hdim, 1, 2)
+    state = ServingState(params, h, mode="mlp", block=64)
+    with BackgroundServer(state) as srv:
+        yield state, srv, params, h
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=30
+    ) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(served):
+    state, srv, _, _ = served
+    out = _get(srv, "/healthz")
+    assert out["status"] == "ok"
+    assert out["nodes"] == state.num_nodes and out["dim"] == state.dim
+
+
+def test_topk_matches_engine(served):
+    _, srv, params, h = served
+    queries, k = [3, 17, 42], 5
+    out = _post(srv, "/v1/topk", {"queries": queries, "k": k})
+    # direct engine call on the UNPADDED batch — bucketing must not change
+    # per-query results (each query's scores are independent rows)
+    vals, ids = top_k_partners(params, h, jnp.asarray(queries, jnp.int32),
+                               k=k, mode="mlp", block=64)
+    for r, res in enumerate(out["results"]):
+        assert res["query"] == queries[r]
+        assert res["partners"] == np.asarray(ids)[r].tolist()
+        np.testing.assert_allclose(
+            res["scores"], np.asarray(vals)[r], atol=1e-5
+        )
+
+
+def test_score_matches_engine(served):
+    _, srv, params, h = served
+    pairs = [[0, 5], [3, 77], [99, 1]]
+    out = _post(srv, "/v1/score", {"pairs": pairs})
+    arr = np.asarray(pairs, np.int32)
+    direct = score_pairs(params, h, arr[:, 0], arr[:, 1], mode="mlp")
+    np.testing.assert_allclose(out["scores"], np.asarray(direct), atol=1e-5)
+
+
+def test_bucketing_shapes():
+    assert _bucket(1) == 8 and _bucket(8) == 8
+    assert _bucket(9) == 16 and _bucket(100) == 128
+
+
+def test_varied_batch_sizes_same_results(served):
+    """Different request sizes (all bucketed) return per-query-correct rows."""
+    _, srv, params, h = served
+    for qs in ([7], [1, 2, 3, 4, 5], list(range(20))):
+        out = _post(srv, "/v1/topk", {"queries": qs, "k": 3})
+        assert len(out["results"]) == len(qs)
+        vals, ids = top_k_partners(params, h, jnp.asarray(qs, jnp.int32),
+                                   k=3, mode="mlp", block=64)
+        for r in range(len(qs)):
+            assert out["results"][r]["partners"] == np.asarray(ids)[r].tolist()
+
+
+def _assert_http_error(srv, path, payload, code):
+    try:
+        _post(srv, path, payload)
+    except urllib.error.HTTPError as e:
+        assert e.code == code
+        return json.loads(e.read())
+    raise AssertionError(f"expected HTTP {code}")
+
+
+def test_validation_errors(served):
+    _, srv, _, _ = served
+    out = _assert_http_error(srv, "/v1/topk", {"queries": [0, 100], "k": 3}, 400)
+    assert "out of range" in out["error"]
+    _assert_http_error(srv, "/v1/topk", {"queries": [], "k": 3}, 400)
+    _assert_http_error(srv, "/v1/topk", {"queries": [0], "k": 0}, 400)
+    _assert_http_error(srv, "/v1/score", {"pairs": [[0, 1, 2]]}, 400)
+    _assert_http_error(srv, "/v1/score", {"pairs": [[-1, 4]]}, 400)
+    _assert_http_error(srv, "/v1/nope", {}, 404)
+
+
+def test_bad_json_is_400(served):
+    _, srv, _, _ = served
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/topk", data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    else:
+        raise AssertionError("expected HTTP 400")
+
+
+def test_request_counter(served):
+    state, srv, _, _ = served
+    before = _get(srv, "/healthz")["requests"]
+    _post(srv, "/v1/score", {"pairs": [[1, 2]]})
+    assert _get(srv, "/healthz")["requests"] == before + 1
+
+
+def test_cli_daemon_end_to_end(tmp_path):
+    """`cli.serve --port 0` boots a daemon from a saved checkpoint; queries
+    through HTTP match the one-shot CLI's direct outputs."""
+    import subprocess
+    import sys
+    import time
+
+    from llp_tpu.data.registry import get_dataset
+    from llp_tpu.utils.checkpoint import save_checkpoint
+
+    ds = get_dataset(str(tmp_path), "synthetic:sbm:60:3:4.0:1")
+    d = int(ds.x.shape[1])
+    key = jax.random.PRNGKey(3)
+    enc = init_mlp(jax.random.fold_in(key, 0), 2, d, 24, 24)
+    pred = init_link_predictor(jax.random.fold_in(key, 1), "mlp", 24, 24, 1, 2)
+    ck = str(tmp_path / "student-ck")
+    save_checkpoint(ck, {"params": {"encoder": enc, "predictor": pred}},
+                    meta={"encoder": "mlp", "predictor": "mlp",
+                          "norm_type": "none"})
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "llp_tpu.cli.serve", "--checkpoint", ck,
+         "--datasets", "synthetic:sbm:60:3:4.0:1",
+         "--dataset_dir", str(tmp_path), "--device", "cpu", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            msg = json.loads(line)
+            if "serving" in msg:
+                port = int(msg["serving"].rsplit(":", 1)[1])
+                break
+        assert port is not None, proc.stderr.read()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["nodes"] == 60
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"queries": [0, 7], "k": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["results"]) == 2
+        assert len(out["results"][0]["partners"]) == 4
+        # daemon never returns a query as its own partner (exclude_self)
+        assert 0 not in out["results"][0]["partners"]
+    finally:
+        proc.terminate()  # exact PID of the process we started
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=20)
