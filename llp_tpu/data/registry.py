@@ -12,7 +12,12 @@ but sources data from, in order of preference:
    inputs for parity runs.
 2. Planetoid raw files (``ind.<name>.*``) if present under
    ``<root>/<Name>/raw`` — parsed directly, no PyG needed.
-3. A seeded synthetic stand-in with the real dataset's (N, D, avg-degree)
+3. GNN-benchmark ``.npz`` raw files (the format PyG's Coauthor/Amazon
+   datasets download, e.g. ``ms_academic_cs.npz``) — parsed directly.
+4. An OGB ``ogbl_collab`` download directory (``edge.csv.gz`` +
+   ``node-feat.csv.gz``) for the collab dataset the reference loads via
+   ``PygLinkPropPredDataset`` (reference ``src/main.py:307``).
+5. A seeded synthetic stand-in with the real dataset's (N, D, avg-degree)
    shape — the offline default in this environment (no egress).
 
 Synthetic names are also first-class:
@@ -74,6 +79,14 @@ def get_dataset(root: str, name: str) -> Dataset:
     if planetoid is not None:
         return planetoid
 
+    gnn_bench = _try_gnn_benchmark(root, name)
+    if gnn_bench is not None:
+        return gnn_bench
+
+    ogb = _try_ogb_collab(root, name)
+    if ogb is not None:
+        return ogb
+
     if name in _REAL_SHAPES:
         return _synthetic_standin(name)
 
@@ -116,6 +129,95 @@ def _synthetic_standin(name: str) -> Dataset:
     ei, comm = sbm_graph(n, k, deg, homophily=0.88, seed=seed)
     x = community_features(comm, d, kind=feat_kind, seed=seed)
     return Dataset(name, x, ei, synthetic=True)
+
+
+# The raw files PyG's Coauthor/Amazon classes download (reference
+# ``src/utils.py:35-43`` routes these names through those classes).
+_GNN_BENCHMARK_FILES = {
+    "coauthor-cs": ("ms_academic_cs.npz", "CS"),
+    "coauthor-physics": ("ms_academic_phy.npz", "Physics"),
+    "amazon-computers": ("amazon_electronics_computers.npz", "Computers"),
+    "amazon-photos": ("amazon_electronics_photo.npz", "Photo"),
+}
+
+
+def _symmetrize_dedup(ei: np.ndarray, n: int) -> np.ndarray:
+    """Both directions, unique, self-loops removed; (2, E) int64."""
+    keys = np.unique(np.concatenate([ei[0] * n + ei[1], ei[1] * n + ei[0]]))
+    ei = np.stack([keys // n, keys % n])
+    return ei[:, ei[0] != ei[1]]
+
+
+def _try_gnn_benchmark(root: str, name: str):
+    """Parse a GNN-benchmark-format .npz (CSR adjacency + CSR/dense
+    attributes) — the exact raw artifact PyG downloads for the Coauthor and
+    Amazon datasets, loadable here without torch_geometric."""
+    if name not in _GNN_BENCHMARK_FILES:
+        return None
+    fname, pyg_dir = _GNN_BENCHMARK_FILES[name]
+    for base in (
+        root,
+        os.path.join(root, name),
+        os.path.join(root, name, "raw"),
+        os.path.join(root, pyg_dir, "raw"),  # PyG's on-disk layout
+    ):
+        path = os.path.join(base, fname)
+        if os.path.exists(path):
+            return _parse_gnn_benchmark(path, name)
+    return None
+
+
+def _parse_gnn_benchmark(path: str, name: str) -> Dataset:
+    import scipy.sparse as sp
+
+    with np.load(path, allow_pickle=True) as z:
+        adj = sp.csr_matrix(
+            (z["adj_data"], z["adj_indices"], z["adj_indptr"]),
+            shape=tuple(z["adj_shape"]),
+        ).tocoo()
+        if "attr_data" in z:
+            x = np.asarray(
+                sp.csr_matrix(
+                    (z["attr_data"], z["attr_indices"], z["attr_indptr"]),
+                    shape=tuple(z["attr_shape"]),
+                ).todense(),
+                dtype=np.float32,
+            )
+        else:
+            x = np.asarray(z["attr_matrix"], dtype=np.float32)
+    n = x.shape[0]
+    ei = np.stack([adj.row.astype(np.int64), adj.col.astype(np.int64)])
+    # PyG loads these graphs to_undirected with self-loops removed
+    # (torch_geometric.io.npz semantics) — match that.
+    return Dataset(name, x, _symmetrize_dedup(ei, n))
+
+
+def _try_ogb_collab(root: str, name: str):
+    """Load an untouched OGB ``ogbl_collab`` download (the reference gets
+    collab via ``PygLinkPropPredDataset('ogbl-collab')``, reference
+    ``src/main.py:307`` / ``src/train_teacher_gnn.py:322``)."""
+    if name not in ("collab", "ogbl-collab"):
+        return None
+    for base in (
+        os.path.join(root, "ogbl_collab", "raw"),
+        os.path.join(root, "collab", "raw"),
+        root,
+    ):
+        if os.path.exists(os.path.join(base, "edge.csv.gz")) and os.path.exists(
+            os.path.join(base, "node-feat.csv.gz")
+        ):
+            return _parse_ogb_collab(base, name)
+    return None
+
+
+def _parse_ogb_collab(base: str, name: str) -> Dataset:
+    import gzip
+
+    with gzip.open(os.path.join(base, "node-feat.csv.gz"), "rt") as f:
+        x = np.loadtxt(f, delimiter=",", dtype=np.float32, ndmin=2)
+    with gzip.open(os.path.join(base, "edge.csv.gz"), "rt") as f:
+        ei = np.loadtxt(f, delimiter=",", dtype=np.int64, ndmin=2).T
+    return Dataset(name, x, _symmetrize_dedup(ei, x.shape[0]))
 
 
 def _try_planetoid(root: str, name: str):

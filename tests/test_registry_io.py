@@ -112,3 +112,85 @@ def test_export_npz_roundtrips_into_registry(tmp_path):
     assert ds.num_nodes == 30
     np.testing.assert_allclose(ds.x, x)
     assert ds.edge_index.shape == both.shape
+
+
+def _write_gnn_benchmark_npz(path, n=10, d=5, sparse_attr=True, seed=1):
+    rng = np.random.default_rng(seed)
+    adj = sp.random(n, n, density=0.3, random_state=seed, format="csr",
+                    dtype=np.float32)
+    adj.setdiag(1.0)  # include self-loops: the parser must strip them
+    adj = adj.tocsr()
+    x_dense = (rng.random((n, d)) < 0.5).astype(np.float32)
+    arrays = dict(
+        adj_data=adj.data, adj_indices=adj.indices, adj_indptr=adj.indptr,
+        adj_shape=np.array(adj.shape),
+    )
+    if sparse_attr:
+        attr = sp.csr_matrix(x_dense)
+        arrays.update(attr_data=attr.data, attr_indices=attr.indices,
+                      attr_indptr=attr.indptr, attr_shape=np.array(attr.shape))
+    else:
+        arrays["attr_matrix"] = x_dense
+    np.savez(path, **arrays)
+    return x_dense, adj
+
+
+def test_gnn_benchmark_npz_parser(tmp_path):
+    """Coauthor/Amazon raw artifact (GNN-benchmark .npz, the file PyG
+    downloads — reference utils.py:35-43) loads without torch_geometric."""
+    raw = tmp_path / "CS" / "raw"
+    raw.mkdir(parents=True)
+    x_dense, adj = _write_gnn_benchmark_npz(raw / "ms_academic_cs.npz")
+    ds = get_dataset(str(tmp_path), "coauthor-cs")
+    assert not ds.synthetic
+    np.testing.assert_array_equal(ds.x, x_dense)
+    ei = ds.edge_index
+    assert (ei[0] != ei[1]).all()  # self-loops stripped
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert all((b, a) in pairs for a, b in pairs)  # undirected
+    coo = adj.tocoo()
+    for u, v in zip(coo.row.tolist(), coo.col.tolist()):
+        if u != v:
+            assert (u, v) in pairs and (v, u) in pairs
+
+
+def test_gnn_benchmark_dense_attr_variant(tmp_path):
+    x_dense, _ = _write_gnn_benchmark_npz(
+        tmp_path / "amazon_electronics_photo.npz", sparse_attr=False, seed=2
+    )
+    ds = get_dataset(str(tmp_path), "amazon-photos")
+    assert not ds.synthetic
+    np.testing.assert_array_equal(ds.x, x_dense)
+
+
+def test_ogb_collab_raw_loader(tmp_path):
+    """An untouched OGB ogbl_collab download dir (edge.csv.gz +
+    node-feat.csv.gz — the dataset the reference loads via
+    PygLinkPropPredDataset, main.py:307) loads directly."""
+    import gzip
+
+    raw = tmp_path / "ogbl_collab" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    n, d = 12, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    edges = np.array([[0, 1], [1, 2], [2, 3], [5, 0], [7, 7]], np.int64)
+    with gzip.open(raw / "node-feat.csv.gz", "wt") as f:
+        for row in x:
+            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+    with gzip.open(raw / "edge.csv.gz", "wt") as f:
+        for u, v in edges:
+            f.write(f"{u},{v}\n")
+    ds = get_dataset(str(tmp_path), "collab")
+    assert not ds.synthetic
+    np.testing.assert_allclose(ds.x, x, atol=1e-5)
+    ei = ds.edge_index
+    assert (ei[0] != ei[1]).all()  # the 7,7 self-loop is stripped
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert (1, 0) in pairs and (0, 1) in pairs and (0, 5) in pairs
+    assert len(pairs) == 8  # 4 non-self edges, both directions
+
+
+def test_real_names_still_fall_back_to_standins(tmp_path):
+    ds = get_dataset(str(tmp_path), "coauthor-cs")
+    assert ds.synthetic and ds.x.shape == (18333, 6805)
