@@ -53,6 +53,13 @@ def main(argv=None):
                         "GET /healthz, POST /v1/topk {queries,k}, "
                         "POST /v1/score {pairs}")
     p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--shard", action="store_true",
+                   help="daemon mode: node-shard the embedding table across "
+                        "all visible devices (per-shard retrieval + exact "
+                        "cross-shard merge)")
+    p.add_argument("--warmup", type=int, default=0,
+                   help="daemon mode: pre-compile the smallest request "
+                        "bucket for this k before accepting traffic")
     args = p.parse_args(argv)
 
     from llp_tpu.cli.common import setup_device
@@ -112,14 +119,30 @@ def main(argv=None):
 
     if args.port is not None:
         # Daemon mode: encode once (above), answer queries until killed.
-        from llp_tpu.serve.server import ServingState, serve_forever
-
-        state = ServingState(
-            params["predictor"], h, mode=mode, block=args.block,
-            approx=args.approx,
-            compute_dtype=(jnp.bfloat16
-                           if args.compute_dtype == "bfloat16" else None),
+        from llp_tpu.serve.server import (
+            ServingState, ShardedServingState, serve_forever,
         )
+
+        if args.shard:
+            import jax
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            state = ShardedServingState(
+                params["predictor"], h,
+                Mesh(np.array(devs), ("data",)),
+                mode=mode, block=args.block, approx=args.approx,
+            )
+            out["shards"] = len(devs)
+        else:
+            state = ServingState(
+                params["predictor"], h, mode=mode, block=args.block,
+                approx=args.approx,
+                compute_dtype=(jnp.bfloat16
+                               if args.compute_dtype == "bfloat16" else None),
+            )
+        if args.warmup:
+            state.warmup(args.warmup)
         print(json.dumps(out), flush=True)
         serve_forever(state, args.host, args.port)
         return out

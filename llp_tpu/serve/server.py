@@ -106,6 +106,67 @@ class ServingState:
         )
         return np.asarray(out)[:m]
 
+    def warmup(self, k: int = 10) -> None:
+        """Pre-compile the smallest request bucket so the first real query
+        doesn't pay the jit (useful behind a load balancer's health check)."""
+        self.topk([0], k)
+        self.score([[0, 0]])
+
+
+class ShardedServingState(ServingState):
+    """Serving over a NODE-SHARDED embedding table on a device mesh.
+
+    The multi-chip regime: when the table doesn't fit (or shouldn't hog) one
+    chip, rows are owner-partitioned across the mesh and retrieval runs
+    per-shard with an exact cross-shard merge
+    (:func:`llp_tpu.parallel.eval.make_sharded_topk_partners` — the same
+    ``approx`` knob applies per shard).  Queries stay tiny and replicated;
+    pair scoring reuses the base engine under GSPMD (XLA inserts the row
+    gathers across shards).
+    """
+
+    def __init__(self, predictor_params, h, mesh, *, mode: str = "mlp",
+                 block: int = 4096, approx: bool = False, axis: str = "data"):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = int(h.shape[0])
+        ndev = mesh.shape[axis]
+        pad = (-n) % ndev
+        if pad:
+            h = jnp.concatenate([h, jnp.zeros((pad, h.shape[1]), h.dtype)])
+        h = jax.device_put(h, NamedSharding(mesh, P(axis, None)))
+        super().__init__(predictor_params, h, mode=mode, block=block,
+                         approx=approx)
+        self.num_nodes = n  # id validation against REAL rows, not padding
+        self.mesh = mesh
+        self.axis = axis
+        self._topk_fns = {}
+        self._gather_q = jax.jit(
+            lambda table, qi: jnp.take(table, qi, axis=0),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+
+    def topk(self, queries, k: int):
+        from llp_tpu.parallel.eval import make_sharded_topk_partners
+
+        qi = np.asarray(queries, np.int32).reshape(-1)
+        self._check_ids(qi, "queries")
+        if not 1 <= k <= self.num_nodes - 1:
+            raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
+        if k not in self._topk_fns:
+            self._topk_fns[k] = make_sharded_topk_partners(
+                self.mesh, k=k, mode=self.mode, num_nodes=self.num_nodes,
+                block=self.block, axis=self.axis, approx=self.approx,
+            )
+        q = qi.size
+        qp = np.zeros((_bucket(q),), np.int32)
+        qp[:q] = qi
+        q_h = self._gather_q(self.h, qp)
+        vals, ids = self._topk_fns[k](self.params, self.h, q_h, qp)
+        return np.asarray(vals)[:q], np.asarray(ids)[:q]
+
 
 def _make_handler(state: ServingState):
     class Handler(BaseHTTPRequestHandler):

@@ -203,3 +203,98 @@ def test_cli_daemon_end_to_end(tmp_path):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=20)
+
+
+def test_sharded_daemon_matches_single_device():
+    """ShardedServingState (node-sharded table over the 8-device mesh)
+    answers HTTP top-k/score identically to the single-device state."""
+    from jax.sharding import Mesh
+
+    from llp_tpu.serve.server import ShardedServingState
+
+    n, hdim = 203, 16
+    key = jax.random.PRNGKey(5)
+    h = jax.random.normal(jax.random.fold_in(key, 1), (n, hdim), jnp.float32)
+    params = init_link_predictor(jax.random.fold_in(key, 2), "mlp",
+                                 hdim, hdim, 1, 2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    ref = ServingState(params, h, mode="mlp", block=64)
+    sharded = ShardedServingState(params, h, mesh, mode="mlp", block=32)
+    queries, k = [0, 50, 202], 6
+    rv, ri = ref.topk(queries, k)
+    with BackgroundServer(sharded) as srv:
+        out = _post(srv, "/v1/topk", {"queries": queries, "k": k})
+        for r, res in enumerate(out["results"]):
+            np.testing.assert_allclose(res["scores"], rv[r], atol=1e-5)
+            # ties may reorder ids within equal scores; validate by score
+            assert res["query"] not in res["partners"]
+        pairs = [[0, 5], [3, 77], [199, 1]]
+        out_s = _post(srv, "/v1/score", {"pairs": pairs})
+        np.testing.assert_allclose(
+            out_s["scores"], ref.score(pairs), atol=1e-5
+        )
+        # out-of-range ids still rejected against REAL rows (not pad rows)
+        _assert_http_error(srv, "/v1/topk", {"queries": [n], "k": 3}, 400)
+
+
+def test_warmup_precompiles(served):
+    state, _, _, _ = served
+    state.warmup(k=3)  # smoke: compiles the floor bucket for topk + score
+
+
+def test_cli_daemon_sharded(tmp_path):
+    """`cli.serve --port 0 --shard --warmup` on a virtual 8-device CPU mesh."""
+    import subprocess
+    import sys
+    import time
+
+    from llp_tpu.data.registry import get_dataset
+    from llp_tpu.utils.checkpoint import save_checkpoint
+
+    ds = get_dataset(str(tmp_path), "synthetic:sbm:60:3:4.0:1")
+    d = int(ds.x.shape[1])
+    key = jax.random.PRNGKey(4)
+    enc = init_mlp(jax.random.fold_in(key, 0), 2, d, 24, 24)
+    pred = init_link_predictor(jax.random.fold_in(key, 1), "mlp", 24, 24, 1, 2)
+    ck = str(tmp_path / "student-ck")
+    save_checkpoint(ck, {"params": {"encoder": enc, "predictor": pred}},
+                    meta={"encoder": "mlp", "predictor": "mlp",
+                          "norm_type": "none"})
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "llp_tpu.cli.serve", "--checkpoint", ck,
+         "--datasets", "synthetic:sbm:60:3:4.0:1",
+         "--dataset_dir", str(tmp_path), "--device", "cpu:8",
+         "--port", "0", "--shard", "--warmup", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        port, shards = None, None
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            msg = json.loads(line)
+            if "serving" in msg:
+                port = int(msg["serving"].rsplit(":", 1)[1])
+                break
+            if "shards" in msg:
+                shards = msg["shards"]
+        assert port is not None, proc.stderr.read()
+        assert shards == 8
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/topk",
+            data=json.dumps({"queries": [3], "k": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["results"][0]["partners"]) == 4
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=20)
