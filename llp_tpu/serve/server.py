@@ -53,7 +53,8 @@ class ServingState:
 
     def __init__(self, predictor_params, h, *, mode: str = "mlp",
                  block: int = 4096, approx: bool = False, compute_dtype=None,
-                 fused: bool = False):
+                 fused: bool = False, max_queries: int = 4096,
+                 max_pairs: int = 1 << 20):
         self.params = predictor_params
         self.h = h
         self.mode = mode
@@ -64,6 +65,11 @@ class ServingState:
         self.num_nodes = int(h.shape[0])
         self.dim = int(h.shape[1])
         self.requests = 0
+        # Bound the per-request device footprint: retrieval materializes
+        # (Q, block) score tiles and scoring gathers 2·P rows — an unbounded
+        # batch would let one request OOM the chip.
+        self.max_queries = max_queries
+        self.max_pairs = max_pairs
 
     def _check_ids(self, ids: np.ndarray, what: str):
         if ids.size == 0:
@@ -79,6 +85,11 @@ class ServingState:
 
         qi = np.asarray(queries, np.int32).reshape(-1)
         self._check_ids(qi, "queries")
+        if qi.size > self.max_queries:
+            raise ValueError(
+                f"too many queries ({qi.size} > {self.max_queries}); "
+                f"split the request"
+            )
         if not 1 <= k <= self.num_nodes - 1:
             raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
         q = qi.size
@@ -96,6 +107,11 @@ class ServingState:
         arr = np.asarray(pairs, np.int32)
         if arr.ndim != 2 or arr.shape[1] != 2:
             raise ValueError("pairs must be a list of [src, dst] id pairs")
+        if arr.shape[0] > self.max_pairs:
+            raise ValueError(
+                f"too many pairs ({arr.shape[0]} > {self.max_pairs}); "
+                f"split the request"
+            )
         self._check_ids(arr.reshape(-1), "pairs")
         m = arr.shape[0]
         pp = np.zeros((_bucket(m), 2), np.int32)
@@ -153,6 +169,11 @@ class ShardedServingState(ServingState):
 
         qi = np.asarray(queries, np.int32).reshape(-1)
         self._check_ids(qi, "queries")
+        if qi.size > self.max_queries:
+            raise ValueError(
+                f"too many queries ({qi.size} > {self.max_queries}); "
+                f"split the request"
+            )
         if not 1 <= k <= self.num_nodes - 1:
             raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
         if k not in self._topk_fns:
@@ -224,6 +245,9 @@ def _make_handler(state: ServingState):
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except (ValueError, TypeError, KeyError) as e:
                 self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — daemon must not drop the
+                # connection on an engine error; surface it to the client.
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

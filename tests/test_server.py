@@ -298,3 +298,23 @@ def test_cli_daemon_sharded(tmp_path):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=20)
+
+
+def test_request_size_caps():
+    """One request can't OOM the chip: query/pair batch caps return 400."""
+    n, hdim = 50, 8
+    key = jax.random.PRNGKey(9)
+    h = jax.random.normal(key, (n, hdim), jnp.float32)
+    params = init_link_predictor(jax.random.fold_in(key, 1), "mlp",
+                                 hdim, hdim, 1, 2)
+    state = ServingState(params, h, mode="mlp", block=16,
+                         max_queries=4, max_pairs=3)
+    with BackgroundServer(state) as srv:
+        out = _assert_http_error(
+            srv, "/v1/topk", {"queries": [0, 1, 2, 3, 4], "k": 2}, 400)
+        assert "too many queries" in out["error"]
+        out = _assert_http_error(
+            srv, "/v1/score", {"pairs": [[0, 1]] * 4}, 400)
+        assert "too many pairs" in out["error"]
+        assert len(_post(srv, "/v1/topk",
+                         {"queries": [0, 1], "k": 2})["results"]) == 2
