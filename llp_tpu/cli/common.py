@@ -32,6 +32,12 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--metric", type=str, default="Hits@20")
     p.add_argument("--use_valedges_as_input", action="store_true")
+    p.add_argument(
+        "--use_edge_weight", action="store_true",
+        help="aggregate with the dataset's per-edge weights (collab's "
+             "co-authorship counts): weighted mean for SAGE, weighted "
+             "sym-norm for GCN",
+    )
     p.add_argument("--transductive", type=str, default="transductive",
                    choices=["transductive", "production"])
     p.add_argument("--minibatch", action="store_true")

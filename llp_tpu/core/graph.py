@@ -85,6 +85,13 @@ class Graph:
     # (e.g. the Pallas SpMM tile cache) key a graph even while it is a tracer
     # inside jit.
     cache_token: int = struct.field(pytree_node=False, default=-1)
+    # Optional (E_pad,) float32 per-edge weights in the canonical COO order
+    # (padded tail is 0).  The reference's ogbl-collab download carries
+    # co-authorship counts (reference ``src/main.py:310`` loads them, though
+    # its hot path never aggregates with them); encoders here aggregate
+    # weighted when this is set (weighted mean for SAGE, weighted sym-norm
+    # for GCN — the intended weighted-graph semantics).
+    edge_weight: Optional[jnp.ndarray] = None
 
     @property
     def num_padded_edges(self) -> int:
@@ -97,6 +104,7 @@ def build_graph(
     *,
     pad_to_multiple: int = 128,
     e_pad: Optional[int] = None,
+    edge_weight: Optional[np.ndarray] = None,
 ) -> Graph:
     """Build a padded :class:`Graph` from a host (2, E) edge list.
 
@@ -125,6 +133,17 @@ def build_graph(
     receivers[:e] = recv_real[r_order]
     mask = np.zeros((e_pad,), bool)
     mask[:e] = True
+
+    ew = None
+    if edge_weight is not None:
+        edge_weight = np.asarray(edge_weight, np.float32).reshape(-1)
+        if edge_weight.shape[0] != e:
+            raise ValueError(
+                f"edge_weight has {edge_weight.shape[0]} entries for {e} edges"
+            )
+        w = np.zeros((e_pad,), np.float32)
+        w[:e] = edge_weight[r_order]
+        ew = jnp.asarray(w)
 
     # CSR by sender (stable sort keeps deterministic neighbor order).
     s_order = np.argsort(send_real, kind="stable")
@@ -156,6 +175,7 @@ def build_graph(
         num_edges=int(e),
         receiver_sorted=True,
         cache_token=token,
+        edge_weight=ew,
     )
 
 

@@ -56,6 +56,19 @@ class Dataset:
     x: np.ndarray            # (N, D) float32
     edge_index: np.ndarray   # (2, E) int64, undirected (both directions)
     synthetic: bool = False
+    # Optional (E,) float32 per-edge weights aligned with edge_index columns
+    # (duplicate raw rows coalesced by summation — SparseTensor.coalesce
+    # semantics).  ogbl-collab ships co-authorship counts (reference
+    # ``src/main.py:310``).
+    edge_weight: np.ndarray | None = None
+    # Optional OFFICIAL split shipped with the dataset (OGB's time split for
+    # collab): ``{part: {'edge': (M, 2) int64, 'edge_neg': ..., 'weight': ...,
+    # 'year': ...}}`` — the ``dataset.get_edge_split()`` dict the reference
+    # uses for collab (reference ``src/main.py:313`` /
+    # ``src/train_teacher_gnn.py:327``).  When present the drivers use it
+    # instead of re-splitting with ``do_edge_split``.
+    split: dict | None = None
+    split_name: str = ""     # provenance, e.g. "ogb:time"
 
     @property
     def num_nodes(self) -> int:
@@ -148,6 +161,21 @@ def _symmetrize_dedup(ei: np.ndarray, n: int) -> np.ndarray:
     return ei[:, ei[0] != ei[1]]
 
 
+def _coalesce_undirected(ei: np.ndarray, n: int, weight: np.ndarray):
+    """Both directions, duplicates coalesced by SUMMING weights, self-loops
+    removed — SparseTensor.coalesce semantics for a weighted multigraph
+    (collab's raw edge list repeats a pair once per collaboration year).
+    Returns ``(edge_index (2, E), weight (E,))``.
+    """
+    both = np.concatenate([ei, ei[::-1]], axis=1)
+    w2 = np.concatenate([weight, weight]).astype(np.float64)
+    keys, inv = np.unique(both[0] * n + both[1], return_inverse=True)
+    w = np.bincount(inv, weights=w2, minlength=keys.shape[0])
+    out = np.stack([keys // n, keys % n])
+    keep = out[0] != out[1]
+    return out[:, keep], w[keep].astype(np.float32)
+
+
 def _try_gnn_benchmark(root: str, name: str):
     """Parse a GNN-benchmark-format .npz (CSR adjacency + CSR/dense
     attributes) — the exact raw artifact PyG downloads for the Coauthor and
@@ -170,7 +198,9 @@ def _try_gnn_benchmark(root: str, name: str):
 def _parse_gnn_benchmark(path: str, name: str) -> Dataset:
     import scipy.sparse as sp
 
-    with np.load(path, allow_pickle=True) as z:
+    # The real GNN-benchmark files hold plain arrays only — never allow
+    # pickle execution from a downloaded artifact.
+    with np.load(path, allow_pickle=False) as z:
         adj = sp.csr_matrix(
             (z["adj_data"], z["adj_indices"], z["adj_indptr"]),
             shape=tuple(z["adj_shape"]),
@@ -217,7 +247,80 @@ def _parse_ogb_collab(base: str, name: str) -> Dataset:
         x = np.loadtxt(f, delimiter=",", dtype=np.float32, ndmin=2)
     with gzip.open(os.path.join(base, "edge.csv.gz"), "rt") as f:
         ei = np.loadtxt(f, delimiter=",", dtype=np.int64, ndmin=2).T
-    return Dataset(name, x, _symmetrize_dedup(ei, x.shape[0]))
+
+    # edge_weight.csv.gz rides along in the same download (co-authorship
+    # counts; reference src/main.py:310 loads it as data.edge_weight).
+    w = None
+    w_path = os.path.join(base, "edge_weight.csv.gz")
+    if os.path.exists(w_path):
+        with gzip.open(w_path, "rt") as f:
+            w = np.loadtxt(f, delimiter=",", dtype=np.float32).reshape(-1)
+        if w.shape[0] != ei.shape[1]:
+            raise ValueError(
+                f"edge_weight.csv.gz has {w.shape[0]} rows for {ei.shape[1]} edges"
+            )
+
+    if w is None:
+        ei_u, w_u = _symmetrize_dedup(ei, x.shape[0]), None
+    else:
+        ei_u, w_u = _coalesce_undirected(ei, x.shape[0], w)
+
+    # The official time-based split ships as split/time/{train,valid,test}.pt
+    # next to raw/ — the artifacts behind the reference's
+    # ``dataset.get_edge_split()`` (src/main.py:313, train_teacher_gnn.py:327).
+    split, split_name = _load_ogb_split(base)
+    return Dataset(
+        name, x, ei_u, edge_weight=w_u, split=split, split_name=split_name
+    )
+
+
+def _load_ogb_split(raw_base: str):
+    """Parse OGB split artifacts (torch-saved dicts of plain arrays) from the
+    ``split/<scheme>/`` directory that ships beside ``raw/``.
+
+    Returns ``(split_edge, provenance)`` in the llp_tpu layout — numpy int64
+    ``edge``/``edge_neg`` of shape (M, 2), float32 ``weight``, int64 ``year``
+    — or ``(None, "")`` when the download has no split directory.
+    """
+    candidates = []
+    parent = os.path.dirname(os.path.abspath(raw_base))
+    for holder in (parent, raw_base):
+        split_root = os.path.join(holder, "split")
+        if os.path.isdir(split_root):
+            for scheme in sorted(os.listdir(split_root)):
+                candidates.append((os.path.join(split_root, scheme), scheme))
+    for sdir, scheme in candidates:
+        paths = {p: os.path.join(sdir, f"{p}.pt") for p in ("train", "valid", "test")}
+        if all(os.path.exists(p) for p in paths.values()):
+            import torch
+
+            out = {}
+            for part, path in paths.items():
+                blob = torch.load(path, map_location="cpu", weights_only=False)
+                if not isinstance(blob, dict):
+                    raise ValueError(
+                        f"OGB split file {path} is not a dict "
+                        f"(got {type(blob).__name__})"
+                    )
+                d = {}
+                for k, v in blob.items():
+                    a = np.asarray(
+                        getattr(getattr(v, "detach", lambda: v)(), "cpu", lambda: v)()
+                    )
+                    if k in ("edge", "edge_neg"):
+                        a = a.astype(np.int64)
+                        if a.ndim != 2 or a.shape[1] != 2:
+                            raise ValueError(
+                                f"{path}: {k} must be (M, 2), got {a.shape}"
+                            )
+                    elif k == "weight":
+                        a = a.astype(np.float32).reshape(-1)
+                    d[k] = a
+                if "edge" not in d:
+                    raise ValueError(f"{path} has no 'edge' key")
+                out[part] = d
+            return out, f"ogb:{scheme}"
+    return None, ""
 
 
 def _try_planetoid(root: str, name: str):

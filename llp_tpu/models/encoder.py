@@ -58,17 +58,23 @@ def apply_encoder(
     norm_type: str = "none",
     impl: str = "xla",
     x_agg=None,
+    norm_axis=None,
+    norm_row_mask=None,
 ):
     """Returns ``h``; with norm_type="batch", ``(h, new_norm_state)``.
 
     ``x_agg``: optional precomputed layer-1 aggregation of ``x`` (see
     :func:`precompute_first_aggregation`) — exact, hoists one full-graph SpMM
     out of every training batch.
+
+    ``norm_axis``/``norm_row_mask``: cross-device batch-norm statistics for
+    sharded training (see :func:`llp_tpu.models.norms.apply_norm`).
     """
     if name == "sage":
         return apply_sage(
             params, graph, x, dropout=dropout, train=train, rng=rng, conv=conv,
             norm_type=norm_type, impl=impl, x_agg=x_agg,
+            norm_axis=norm_axis, norm_row_mask=norm_row_mask,
         )
     if name == "gcn":
         if norm_type != "none":
@@ -81,7 +87,8 @@ def apply_encoder(
         if x_agg is not None:
             raise ValueError("the MLP encoder has no aggregation to hoist")
         return apply_mlp(
-            params, x, dropout=dropout, train=train, rng=rng, norm_type=norm_type
+            params, x, dropout=dropout, train=train, rng=rng, norm_type=norm_type,
+            norm_axis=norm_axis, norm_row_mask=norm_row_mask,
         )
     raise ValueError(f"unknown encoder {name!r}")
 
@@ -106,7 +113,7 @@ def precompute_first_aggregation(
     * gcn: ``Â x`` (weighted sum + analytic self-loop term)
     * mlp: ``None`` (no aggregation)
     """
-    from llp_tpu.ops.spmm import spmm
+    from llp_tpu.ops.spmm import mean_aggregate
 
     if name == "mlp":
         return None
@@ -115,6 +122,6 @@ def precompute_first_aggregation(
 
         return _normalized_aggregate(graph, x, gcn_norm_coeffs(graph), impl=impl)
     if name == "sage":
-        del conv  # both variants hoist the same mean aggregation
-        return spmm(graph, x, "mean", impl=impl)
+        del conv  # both variants hoist the same (weighted-aware) mean
+        return mean_aggregate(graph, x, impl=impl)
     raise ValueError(f"unknown encoder {name!r}")

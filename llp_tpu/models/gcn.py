@@ -29,14 +29,23 @@ from llp_tpu.ops.spmm import spmm
 
 def gcn_norm_coeffs(graph: Graph) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Factored sym-norm: node scalings ``1/sqrt(d̂_v)`` and self weights
-    ``1/d̂_v`` (both (N,)).  The per-edge weight ``1/sqrt(d̂_u d̂_v)`` is the
-    outer product of the endpoint factors, so the weighted aggregation
-    becomes pre/post scaling around an unweighted sum-SpMM.
+    ``1/d̂_v`` (both (N,)).  The per-edge coefficient ``w_uv/sqrt(d̂_u d̂_v)``
+    factors into the endpoint scalings times the (possibly unit) edge weight,
+    so the normalized aggregation is pre/post scaling around a sum-SpMM —
+    unweighted (kernel-fast) for binary graphs, the weighted segsum kernel
+    otherwise.
 
-    Degrees count real in-edges (the reference graphs are undirected so
-    in == out); +1 for the implicit self-loop.
+    Unweighted: d̂ = in-degree + 1 (PyG ``gcn_norm`` with self-loops, the
+    reference's ``GCNConv(cached=True)``, ``src/models.py:56-80``).
+    Weighted graphs use the weighted degree ``d̂_v = 1 + Σ_e w_e`` (PyG
+    ``gcn_norm`` with ``edge_weight``, self-loop fill value 1).
     """
-    deg_hat = graph.in_degree.astype(jnp.float32) + 1.0
+    if getattr(graph, "edge_weight", None) is not None:
+        from llp_tpu.ops.spmm import weighted_in_degree
+
+        deg_hat = weighted_in_degree(graph) + 1.0
+    else:
+        deg_hat = graph.in_degree.astype(jnp.float32) + 1.0
     return jax.lax.rsqrt(deg_hat), 1.0 / deg_hat
 
 
@@ -47,10 +56,11 @@ def _normalized_aggregate(
     *,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    """``Â x`` via the factored normalization (unweighted kernel-fast SpMM)."""
+    """``Â x`` via the factored normalization (unweighted kernel-fast SpMM;
+    weighted graphs ride the weighted segsum kernel)."""
     inv_sqrt, self_w = norm
     xs = x * inv_sqrt[:, None].astype(x.dtype)
-    out = spmm(graph, xs, reduce="sum", impl=impl)
+    out = spmm(graph, xs, reduce="sum", edge_weight=getattr(graph, "edge_weight", None), impl=impl)
     out = out * inv_sqrt[:, None].astype(x.dtype)
     return out + self_w[:, None].astype(x.dtype) * x
 

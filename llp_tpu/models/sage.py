@@ -25,7 +25,7 @@ from llp_tpu.core.graph import Graph
 from llp_tpu.ops.rng import inverted_dropout
 from llp_tpu.models.init import apply_linear, init_linear
 from llp_tpu.models.norms import apply_norm, check_norm_type, init_norm
-from llp_tpu.ops.spmm import spmm
+from llp_tpu.ops.spmm import mean_aggregate, weighted_in_degree
 
 
 def init_sage_conv(key: jax.Array, din: int, dout: int, *, dtype=jnp.float32) -> dict:
@@ -51,7 +51,7 @@ def apply_sage_conv(
     hoist it out of the batch loop (the reference recomputes the full-graph
     aggregation every batch, train_teacher_gnn.py:40).
     """
-    agg = spmm(graph, x, reduce="mean", impl=impl) if x_agg is None else x_agg
+    agg = mean_aggregate(graph, x, impl=impl) if x_agg is None else x_agg
     return apply_linear(params["lin_l"], agg) + apply_linear(params["lin_r"], x)
 
 
@@ -74,11 +74,16 @@ def apply_sage_conv_updated(
     if x_agg is not None:
         w = params["lin_l"]["w"]
         out = jnp.dot(x_agg, w, preferred_element_type=jnp.float32).astype(x.dtype)
-        has_nbr = (graph.in_degree > 0).astype(x.dtype)[:, None]
+        if getattr(graph, "edge_weight", None) is None:
+            has_nbr = (graph.in_degree > 0).astype(x.dtype)[:, None]
+        else:
+            # Weighted mean zeroes rows whose incident weights sum to 0, so
+            # the bias must vanish exactly there.
+            has_nbr = (weighted_in_degree(graph) > 0).astype(x.dtype)[:, None]
         out = out + params["lin_l"]["b"].astype(x.dtype) * has_nbr
     else:
         out = apply_linear(params["lin_l"], x)
-        out = spmm(graph, out, reduce="mean", impl=impl)
+        out = mean_aggregate(graph, out, impl=impl)
     return out + apply_linear(params["lin_r"], x)
 
 
@@ -129,6 +134,8 @@ def apply_sage(
     norm_type: str = "none",
     impl: str = "xla",
     x_agg: Optional[jnp.ndarray] = None,
+    norm_axis: Optional[str] = None,
+    norm_row_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     conv_fn = _CONV_APPLY[conv]
     convs = params["convs"]
@@ -138,7 +145,10 @@ def apply_sage(
         h = conv_fn(cp, graph, h, impl=impl, x_agg=x_agg if i == 0 else None)
         if norm_type != "none":
             st = params["norm_state"][i] if norm_type == "batch" else {}
-            h, st = apply_norm(norm_type, params["norms"][i], st, h, train=train)
+            h, st = apply_norm(
+                norm_type, params["norms"][i], st, h, train=train,
+                axis=norm_axis, row_mask=norm_row_mask,
+            )
             new_state.append(st)
         h = jax.nn.relu(h)
         if train and dropout > 0.0:

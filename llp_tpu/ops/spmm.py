@@ -96,6 +96,40 @@ def spmm(
     return _spmm_xla(graph, x, reduce, edge_weight)
 
 
+def weighted_in_degree(graph: Graph) -> jnp.ndarray:
+    """Σ of real-edge weights into each receiver, (N,) fp32.
+
+    Padded edges carry weight 0 and receiver == num_nodes (out of range, the
+    segment op drops them) so no masking is needed.
+    """
+    if graph.edge_weight is None:
+        raise ValueError("graph carries no edge weights")
+    return jax.ops.segment_sum(
+        graph.edge_weight.astype(jnp.float32),
+        graph.receivers,
+        num_segments=graph.num_nodes,
+        indices_are_sorted=graph.receiver_sorted,
+    )
+
+
+def mean_aggregate(graph: Graph, x: jnp.ndarray, *, impl: str = "xla") -> jnp.ndarray:
+    """Neighbor mean; the WEIGHTED mean ``Σ w·x / Σ w`` when the graph carries
+    edge weights (``torch_sparse.matmul(reduce='mean')`` semantics over a
+    value-carrying SparseTensor — the weighted-graph counterpart of the
+    reference's stripped-values mean, reference ``src/sageconv_updated.py:
+    86-89``).  Receiver-normalizing the weights up front keeps the hot path a
+    single sum-SpMM that rides the weighted segsum kernel.
+    """
+    # getattr: the sharded epoch programs pass lightweight graph stand-ins
+    # (per-shard namespaces) that predate the edge_weight field.
+    if getattr(graph, "edge_weight", None) is None:
+        return spmm(graph, x, reduce="mean", impl=impl)
+    inv = 1.0 / jnp.maximum(weighted_in_degree(graph), 1e-12)
+    recv = jnp.clip(graph.receivers, 0, graph.num_nodes - 1)  # pad rows: w=0
+    w_norm = graph.edge_weight.astype(jnp.float32) * jnp.take(inv, recv)
+    return spmm(graph, x, reduce="sum", edge_weight=w_norm, impl=impl)
+
+
 def _spmm_xla(
     graph: Graph,
     x: jnp.ndarray,

@@ -101,19 +101,71 @@ def _fetch_results(results: dict) -> dict:
     return out
 
 
-def prepare_transductive(cfg):
-    """Dataset + cached split + padded graph + device arrays."""
-    ds = get_dataset(cfg.dataset_dir, cfg.datasets)
-    cache = os.path.join(cfg.dataset_dir, f"{cfg.datasets}_split.npz")
-    fp = dataset_fingerprint(ds.x, ds.edge_index)
-    split = load_split_npz(cache, expect_fingerprint=fp) if os.path.exists(cache) else None
-    if split is None:  # no cache, or cache from a DIFFERENT graph (stale)
-        split = do_edge_split(ds.x, ds.edge_index, seed=234)
-        save_split_npz(cache, split, fingerprint=fp)
+def _dataset_edge_weight(cfg, ds):
+    """(E,) weights for the message graph, or None (the default: the
+    reference never aggregates with weights — src/main.py:310 loads collab's
+    edge_weight but its hot path overwrites adj_t)."""
+    if not getattr(cfg, "use_edge_weight", False):
+        return None
+    if ds.edge_weight is None:
+        raise ValueError(
+            f"use_edge_weight requested but dataset {ds.name!r} carries no "
+            f"edge weights (only the ogbl-collab download ships them)"
+        )
+    if max(1, getattr(cfg, "num_devices", 1)) > 1:
+        raise NotImplementedError(
+            "use_edge_weight is a single-device training path for now "
+            "(the sharded epoch programs aggregate unweighted)"
+        )
+    return ds.edge_weight
 
-    train_edges = split["train"]["edge"].astype(np.int32)  # (E, 2), both dirs
+
+def prepare_transductive(cfg):
+    """Dataset + split + padded graph + device arrays.
+
+    Split resolution order (recorded in the returned ``split_name``):
+
+    1. The dataset's OFFICIAL split when the download ships one (OGB's
+       time split for collab — the reference's ``dataset.get_edge_split()``,
+       reference ``src/main.py:313`` / ``src/train_teacher_gnn.py:327``).
+       The message graph is then the dataset's own edge list (= the train
+       edges symmetrized, exactly what ``data.edge_index`` holds for OGB
+       link datasets) and training positives are the official train edges.
+    2. Otherwise the SEAL-style seed-234 ``do_edge_split`` (reference
+       ``src/utils.py:62-105``), cached per dataset fingerprint.
+    """
+    ds = get_dataset(cfg.dataset_dir, cfg.datasets)
+    ew = _dataset_edge_weight(cfg, ds)
+    if ds.split is not None:
+        split = ds.split
+        split_name = ds.split_name or "official"
+        # Official train edges are one direction (possibly with duplicate
+        # collaboration rows); the message graph is their symmetrization —
+        # already materialized (and weight-coalesced) as ds.edge_index.
+        message_ei = ds.edge_index
+    else:
+        cache = os.path.join(cfg.dataset_dir, f"{cfg.datasets}_split.npz")
+        fp = dataset_fingerprint(ds.x, ds.edge_index)
+        split = (
+            load_split_npz(cache, expect_fingerprint=fp)
+            if os.path.exists(cache)
+            else None
+        )
+        if split is None:  # no cache, or cache from a DIFFERENT graph (stale)
+            split = do_edge_split(ds.x, ds.edge_index, seed=234)
+            save_split_npz(cache, split, fingerprint=fp)
+        split_name = "do_edge_split:seed=234"
+        # do_edge_split's train edges already carry both directions
+        # (train_test_split_edges semantics) and ARE the message graph
+        # (reference train_teacher_gnn.py:316-317).
+        message_ei = split["train"]["edge"].astype(np.int64).T
+
+    train_edges = split["train"]["edge"].astype(np.int32)  # (E, 2) positives
     graph = build_graph(
-        train_edges.T, ds.num_nodes, pad_to_multiple=_edge_pad_multiple(cfg)
+        message_ei,
+        ds.num_nodes,
+        pad_to_multiple=_edge_pad_multiple(cfg),
+        edge_weight=ew,
     )
     x = jnp.asarray(ds.x)
 
@@ -126,13 +178,37 @@ def prepare_transductive(cfg):
         from llp_tpu.core.graph import to_undirected_np
 
         val_edges = split["valid"]["edge"].astype(np.int64).T
-        full = np.concatenate([train_edges.T.astype(np.int64), val_edges], axis=1)
-        eval_graph = build_graph(
-            to_undirected_np(full, ds.num_nodes), ds.num_nodes
-        )
+        full = np.concatenate([message_ei.astype(np.int64), val_edges], axis=1)
+        if ew is not None:
+            # message_ei already carries BOTH directions (weights coalesced);
+            # only the valid edges need their reverses added. Coalesce the
+            # directed row list (valid never overlaps train, so this merges
+            # only within-valid duplicates).
+            val_w = split["valid"].get("weight")
+            if val_w is None:
+                val_w = np.ones((val_edges.shape[1],), np.float32)
+            rows = np.concatenate(
+                [message_ei.astype(np.int64), val_edges, val_edges[::-1]], axis=1
+            )
+            w_all = np.concatenate([ew, val_w, val_w]).astype(np.float64)
+            keys, inv = np.unique(
+                rows[0] * ds.num_nodes + rows[1], return_inverse=True
+            )
+            full_w = np.bincount(inv, weights=w_all, minlength=keys.shape[0])
+            full_ei = np.stack([keys // ds.num_nodes, keys % ds.num_nodes])
+            keep = full_ei[0] != full_ei[1]
+            eval_graph = build_graph(
+                full_ei[:, keep],
+                ds.num_nodes,
+                edge_weight=full_w[keep].astype(np.float32),
+            )
+        else:
+            eval_graph = build_graph(
+                to_undirected_np(full, ds.num_nodes), ds.num_nodes
+            )
 
     if ds.num_nodes <= MAX_EXACT_NODES:
-        neg_keys = jnp.asarray(edge_hash_keys(train_edges.T, ds.num_nodes))
+        neg_keys = jnp.asarray(edge_hash_keys(message_ei, ds.num_nodes))
     else:
         neg_keys = jnp.zeros((1,), jnp.int32)  # uniform path ignores it
 
@@ -151,6 +227,7 @@ def prepare_transductive(cfg):
         neg_keys=neg_keys,
         eval_edges=eval_edges,
         num_pos=train_edges.shape[0],
+        split_name=split_name,
     )
 
 
@@ -213,6 +290,7 @@ def prepare_production(cfg):
         val_neg=jnp.asarray(ps.val_neg.T.astype(np.int32)),
         test_edges=test_edges,
         num_pos=int(pos_edges.shape[0]),
+        split_name="do_production_edge_split:seed=234",
     )
 
 
@@ -307,11 +385,14 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     elif cfg.spmm_impl == "segsum":
         from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
 
-        prepare_segsum(data["graph"])
+        prepare_segsum(data["graph"], weighted=data["graph"].edge_weight is not None)
         if production:
             prepare_segsum(data["inf_graph"])
         elif data.get("eval_graph") is not None and data["eval_graph"] is not data["graph"]:
-            prepare_segsum(data["eval_graph"])
+            prepare_segsum(
+                data["eval_graph"],
+                weighted=data["eval_graph"].edge_weight is not None,
+            )
 
     teacher_kwargs = dict(
         encoder=cfg.encoder,
@@ -680,6 +761,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         with open(_results_path(cfg, "supervised"), "a") as f:
             f.write(str(asdict(cfg)) + "\n")
             f.write(f"{cfg.encoder} as the encoder\n")
+            f.write(f"split: {data.get('split_name', 'unknown')}\n")
             for k, s in stats.items():
                 f.write(f"{k}: {s}\n")
             f.write(f"perf: {perf}\n")
@@ -996,6 +1078,7 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
                 f.write("Representation-matching\n")
             elif cfg.kd_lm != 0:
                 f.write("Logit-matching\n")
+            f.write(f"split: {data.get('split_name', 'unknown')}\n")
             for k, s in stats.items():
                 f.write(f"{k}: {s}\n")
             f.write(f"perf: {perf}\n")

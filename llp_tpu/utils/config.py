@@ -44,6 +44,12 @@ class CommonConfig:
     patience: int = 100
     metric: str = "Hits@20"
     use_valedges_as_input: bool = False
+    # Aggregate with the dataset's per-edge weights (collab's co-authorship
+    # counts) — weighted mean for SAGE, weighted sym-norm for GCN. The
+    # reference loads collab's edge_weight but never aggregates with it
+    # (main.py:310; its hot path overwrites adj_t) — this is the wired-up
+    # version of that capability. Single-device training path.
+    use_edge_weight: bool = False
     transductive: str = "transductive"  # 'transductive' | 'production'
     minibatch: bool = False
     seed_offset: int = 0  # teacher seeds run+0, student run+1 (reference)
