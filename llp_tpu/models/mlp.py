@@ -61,10 +61,14 @@ def apply_mlp(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     norm_type: str = "none",
+    norm_axis: Optional[str] = None,
+    norm_row_mask: Optional[jnp.ndarray] = None,
 ):
     """Forward pass. ``rng`` is required when train=True and dropout>0.
 
     Returns ``h``; for norm_type="batch" returns ``(h, new_norm_state)``.
+    ``norm_axis``/``norm_row_mask`` make batch-norm statistics global across
+    a mesh axis inside shard_map (see :func:`llp_tpu.models.norms.apply_norm`).
     """
     h = x
     layers = params["layers"]
@@ -76,7 +80,8 @@ def apply_mlp(
             if norm_type != "none":
                 st = params["norm_state"][i] if norm_type == "batch" else {}
                 h, st = apply_norm(
-                    norm_type, params["norms"][i], st, h, train=train
+                    norm_type, params["norms"][i], st, h, train=train,
+                    axis=norm_axis, row_mask=norm_row_mask,
                 )
                 new_state.append(st)
             h = jax.nn.relu(h)

@@ -65,6 +65,8 @@ def apply_norm(
     x: jnp.ndarray,
     *,
     train: bool,
+    axis: str | None = None,
+    row_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Apply one norm layer; returns ``(y, new_state)``.
 
@@ -72,6 +74,15 @@ def apply_norm(
     where it carries the momentum-updated running buffers (stop-gradient'd).
     Batch norm expects 2-D ``(rows, dim)`` input — every encoder forward in
     this framework is a 2-D node-feature block.
+
+    ``axis``/``row_mask`` — CROSS-DEVICE batch statistics for the sharded
+    epoch programs (call inside ``shard_map``): when ``axis`` names a mesh
+    axis the batch-norm moments psum over it, so every shard normalizes by
+    the GLOBAL batch statistics — numerically the single-device batch norm
+    over the concatenated shards.  ``row_mask`` (bool, per local row)
+    excludes padding rows (halo node partitions pad N up to P·n_per) from
+    the statistics.  Both are ignored by layer norm (per-row) and in eval
+    mode (running buffers).
     """
     if norm_type == "none":
         return x, state
@@ -83,7 +94,31 @@ def apply_norm(
     if norm_type != "batch":
         check_norm_type(norm_type)
     xf = x.astype(jnp.float32)
-    if train:
+    if train and (axis is not None or row_mask is not None):
+        # Distributed (and/or padded) two-pass statistics.
+        w = (
+            row_mask.astype(jnp.float32)[:, None]
+            if row_mask is not None
+            else jnp.ones((x.shape[0], 1), jnp.float32)
+        )
+
+        def _reduce(v):
+            return jax.lax.psum(v, axis) if axis is not None else v
+
+        cnt = _reduce(jnp.sum(w))
+        mu = _reduce(jnp.sum(xf * w, axis=0)) / cnt
+        var_b = _reduce(jnp.sum(jnp.square(xf - mu) * w, axis=0)) / cnt
+        y = (xf - mu) * jax.lax.rsqrt(var_b + EPS)
+        var_u = var_b * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+        new_state = {
+            "mean": jax.lax.stop_gradient(
+                (1 - MOMENTUM) * state["mean"] + MOMENTUM * mu
+            ),
+            "var": jax.lax.stop_gradient(
+                (1 - MOMENTUM) * state["var"] + MOMENTUM * var_u
+            ),
+        }
+    elif train:
         mu = jnp.mean(xf, axis=0)
         var_b = jnp.mean(jnp.square(xf - mu), axis=0)  # biased (normalization)
         y = (xf - mu) * jax.lax.rsqrt(var_b + EPS)

@@ -379,18 +379,15 @@ def make_halo_teacher_epoch_fn(
     (so exchanged rows arrive pre-scaled), the receiver factor and the
     analytic self-loop term after — no global degree products ever
     materialize.  MLP has no aggregation to shard (use the DP epoch).
-    ``norm_type='batch'`` needs cross-device batch statistics and is
-    rejected.
+    ``norm_type='batch'`` psums the batch statistics across the mesh with the
+    partition's padding rows masked out — numerically the single-device batch
+    norm over all N real nodes (reference surface ``src/models.py:17-20``;
+    test-gated trajectory parity).
     """
     from types import SimpleNamespace
 
     from llp_tpu.parallel.halo import halo_spmm_local, plan_args
 
-    if norm_type == "batch":
-        raise NotImplementedError(
-            "halo-sharded training + batch-norm needs cross-device batch "
-            "statistics; use norm_type='none'/'layer'"
-        )
     if encoder not in ("sage", "gcn"):
         raise ValueError(
             "halo-sharded training supports the sage/gcn teacher encoders "
@@ -407,6 +404,7 @@ def make_halo_teacher_epoch_fn(
     b_pad = b_loc * ndev
 
     tx, _ = adam_init({}, lr)
+    stateful = norm_type == "batch"
     cdtype = resolve_dtype(compute_dtype)
     n_plan = len(plan_args(part))
     # Per-device message-tensor rows the halo SpMM materializes (local +
@@ -443,6 +441,13 @@ def make_halo_teacher_epoch_fn(
                 encoder, graph_shim, x, conv=conv, impl=impl
             )
 
+        # Batch-norm statistics must span the REAL rows only: the halo
+        # partition pads N up to P*n_per with zero rows owned by the tail
+        # devices.
+        node_row_mask = (
+            me * part.n_per + jnp.arange(part.n_per, dtype=jnp.int32)
+        ) < num_nodes
+
         def batch_loss(params, rng, edges_loc, mask_loc):
             params = cast_params(params, cdtype)
             k_drop, k_pred, k_neg = jax.random.split(rng, 3)
@@ -454,7 +459,11 @@ def make_halo_teacher_epoch_fn(
                 dropout=dropout, train=True,
                 rng=jax.random.fold_in(k_drop, me), conv=conv,
                 norm_type=norm_type, impl=impl, x_agg=x_agg,
+                norm_axis=axis, norm_row_mask=node_row_mask,
             )
+            new_norm_state = None
+            if stateful:
+                h, new_norm_state = h
             if neg_mode == "dense":
                 neg = sample_negative_edges(k_neg, neg_keys, b_pad, num_nodes)
             else:
@@ -478,7 +487,8 @@ def make_halo_teacher_epoch_fn(
             )
             labels = jnp.concatenate([jnp.ones((b_loc,)), jnp.zeros((b_loc,))])
             fmask = jnp.concatenate([mask_loc, mask_loc]).astype(jnp.float32)
-            return _psum_masked_mean(_bce_elements(out, labels), fmask, axis)
+            loss = _psum_masked_mean(_bce_elements(out, labels), fmask, axis)
+            return loss, new_norm_state
 
         def one_epoch(carry, ekey):
             params, opt_state = carry
@@ -499,9 +509,9 @@ def make_halo_teacher_epoch_fn(
                 mask_loc = idx_loc < e
                 edges_loc = pos_edges[jnp.clip(idx_loc, 0, e - 1)]
                 rng = jax.random.fold_in(k_steps, i)
-                loss, grads = jax.value_and_grad(batch_loss)(
-                    params, rng, edges_loc, mask_loc
-                )
+                (loss, new_ns), grads = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(params, rng, edges_loc, mask_loc)
                 # pmean, not psum — the replicated loss makes psum ndev×
                 # the true gradient (see the DP teacher epoch above).
                 grads = jax.tree_util.tree_map(
@@ -509,6 +519,10 @@ def make_halo_teacher_epoch_fn(
                 )
                 grads = clip_by_group_norm(grads, 1.0)
                 params, opt_state = adam_update(tx, grads, opt_state, params)
+                if stateful:
+                    params = dict(
+                        params, encoder=dict(params["encoder"], norm_state=new_ns)
+                    )
                 n = jax.lax.psum(jnp.sum(mask_loc.astype(jnp.float32)), axis)
                 return (params, opt_state, tl + loss * n, tn + n), None
 
@@ -589,11 +603,6 @@ def make_sharded_student_epoch_fn(
     the TPU-native counterpart keeps it sharded across chips and gathers
     over ICI.  Trajectory-identical to the replicated epoch (test-gated).
     """
-    if minibatch and norm_type == "batch":
-        raise NotImplementedError(
-            "sharded minibatch + batch-norm needs cross-device batch "
-            "statistics; use norm_type='none'/'layer' or full-batch mode"
-        )
     if feature_sharding not in ("replicated", "table"):
         raise ValueError(f"unknown feature_sharding {feature_sharding!r}")
     table = feature_sharding == "table"
@@ -680,11 +689,18 @@ def make_sharded_student_epoch_fn(
                     targets = jnp.concatenate([samples.reshape(-1), src, dst])
                 else:
                     targets = jnp.concatenate([src, dst])
+                # Batch-norm statistics psum across the mesh: every device
+                # holds a shard of the SAME global gathered batch, so the
+                # psum'd moments equal the single-device minibatch step's
+                # (mesh-divisible batches; test-gated).
                 hrows = apply_mlp(
                     params["encoder"], gx(targets),
                     dropout=dropout, train=True, rng=k_drop, norm_type=norm_type,
+                    norm_axis=axis,
                 )
                 new_norm_state = None
+                if stateful:
+                    hrows, new_norm_state = hrows
                 if use_kd:
                     nctx = bn_loc * (1 + c)
                     ctx_h = hrows[:nctx].reshape(bn_loc, 1 + c, -1)

@@ -311,13 +311,34 @@ def test_table_transductive_eval_matches_single_device():
     )
 
 
-def test_sharded_student_minibatch_batchnorm_rejected():
+def test_sharded_student_minibatch_batchnorm_matches_single_device():
+    """Sharded minibatch + batch norm: the psum'd cross-device batch
+    statistics reproduce the single-device minibatch step (the gathered
+    global batch is the same multiset of rows; mesh-divisible batches).
+
+    Gate: per-epoch LOSS parity across 3 epochs.  Epoch k's loss is computed
+    with epoch k-1's trained params, so a wrong forward statistic OR a wrong
+    backward (un-psum'd moment gradients) would blow the later losses far
+    past tolerance.  Exact param parity is unattainable here: batch norm
+    makes the pre-BN bias a zero-gradient (degenerate) direction, and Adam
+    amplifies implementation-level float noise there to O(lr) steps — so the
+    param check is a loose gross-error bound only."""
     g, x, pos, keys = _problem()
-    with pytest.raises(NotImplementedError):
-        make_sharded_student_epoch_fn(
-            _mesh(), **_student_kwargs(g, pos, minibatch=True,
-                                       norm_type="batch")
-        )
+    kw = _student_kwargs(g, pos, minibatch=True, norm_type="batch",
+                         kd_rm=0.0, kd_lm=0.0)
+    t_h, tpred, _ = _student_setup(g, x)
+    params = init_student_params(
+        jax.random.PRNGKey(2), in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+        norm_type="batch",
+    )
+    ref_fn, tx = make_student_epoch_fn(**kw)
+    sh_fn, _ = make_sharded_student_epoch_fn(_mesh(), **kw)
+    args = (g, x, t_h, tpred, pos, keys)
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, args, 3)
+    p_sh, l_sh = _run_epochs(sh_fn, tx, params, args, 3)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_sh, p_ref, rtol=1.0, atol=2e-2)
 
 
 def _halo_setup(g, x):
@@ -376,14 +397,37 @@ def test_halo_teacher_epoch_fusion_matches_per_epoch():
     _assert_trees_close(p2, p1, rtol=1e-5, atol=1e-6)
 
 
-def test_halo_teacher_epoch_batchnorm_rejected():
+@pytest.mark.parametrize("norm_type,n", [("batch", 201), ("layer", 201)])
+def test_halo_teacher_epoch_norms_match_single_device(norm_type, n):
+    """Halo training with inter-layer norms reproduces the single-device
+    trajectory: batch norm psums its moments across the mesh with the
+    partition's padding rows masked (n=201 forces padded owner rows), layer
+    norm is per-row and shards trivially."""
     from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
 
-    g, x, pos, keys = _problem()
-    part, _, _ = _halo_setup(g, x)
-    kw = _teacher_kwargs(g, pos, norm_type="batch")
-    with pytest.raises(NotImplementedError):
-        make_halo_teacher_epoch_fn(_mesh(), part, **kw)
+    g, x, pos, keys = _problem(n=n)
+    kw = _teacher_kwargs(g, pos, norm_type=norm_type)
+    ref_fn, tx = make_teacher_epoch_fn(**kw, spmm_impl="xla")
+    part, x_sh, deg_sh = _halo_setup(g, x)
+    halo_fn, _ = make_halo_teacher_epoch_fn(_mesh(), part, **kw)
+    params = init_teacher_params(
+        jax.random.PRNGKey(4), encoder="sage", in_channels=int(x.shape[1]),
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+        norm_type=norm_type,
+    )
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, pos, keys), 3)
+    p_halo, l_halo = _run_epochs(
+        halo_fn, tx, params, (x_sh, deg_sh, pos, keys), 3
+    )
+    np.testing.assert_allclose(l_halo, l_ref, rtol=1e-4, atol=1e-5)
+    if norm_type == "batch":
+        # Batch norm makes the pre-BN bias a zero-gradient direction — Adam
+        # amplifies float noise there to O(lr); the LOSS trajectory above is
+        # the exactness gate (wrong psum'd stats would blow epochs 2-3),
+        # params get a gross-error bound only.
+        _assert_trees_close(p_halo, p_ref, rtol=1.0, atol=2e-2)
+    else:
+        _assert_trees_close(p_halo, p_ref)
 
 
 @pytest.mark.parametrize("encoder", ["sage", "gcn"])
