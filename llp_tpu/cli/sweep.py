@@ -1,24 +1,21 @@
 """Hyperparameter sweep driver — the local, W&B-free equivalent of the
 reference's 13 sweep YAMLs (reference ``configurations/*.yaml``: random
 search maximizing Hits@20 — Hits@50 for collab — over the LLP loss weights,
-dropout, walk shape, lr, margin; ``program: main.py``).
+dropout, walk shape, lr, margin).
 
-Sweep spec YAML (same vocabulary as the reference files):
+The reference's W&B YAMLs load VERBATIM: ``program: main.py`` maps to the
+student driver and ``program: train_teacher_gnn.py`` to the teacher
+(reference ``configurations/cora_transductive.yaml:89``), parameter names in
+the reference spelling (``LLP_D``/``True_label``/...) rename to config
+fields, and the ``method``/``metric``/``parameters`` keys are the W&B
+vocabulary.  Extensions over the reference format:
 
-    method: random
-    metric: {name: "Hits@20", goal: maximize}
-    trials: 20
-    program: student            # or teacher
-    parameters:
-      LLP_D:   {values: [0.0001, 0.001, ..., 1000]}
-      lr:      {distribution: log_uniform_values, min: 0.0001, max: 0.05}
-      dropout: {values: [0.0, 0.5]}
-      ...
-    base:                        # fixed config fields
-      datasets: cora
-      runs: 3
+    trials: 20                  # sweep length (W&B leaves this to the agent)
+    base: {datasets: cora}      # fixed config fields outside the search
 
-Usage: python -m llp_tpu.cli.sweep --config configs/cora_transductive.yaml
+Usage:
+    python -m llp_tpu.cli.sweep --config configurations/cora_transductive.yaml
+    python -m llp_tpu.cli.sweep --config ... --out sweep.json --resume
 """
 
 from __future__ import annotations
@@ -62,31 +59,82 @@ _RENAME = {
     "LLP_R": "llp_r",
 }
 
+# The reference YAMLs name their entry scripts (cora_transductive.yaml:89);
+# accept those verbatim alongside our own program names.
+_PROGRAM_MAP = {
+    "main.py": "student",
+    "train_teacher_gnn.py": "teacher",
+    "student": "student",
+    "teacher": "teacher",
+}
 
-def run_sweep(spec: dict, *, out_path: str | None = None, seed: int = 0,
-              max_trials: int | None = None, verbose: bool = True) -> dict:
+
+def _resolve_program(spec: dict) -> str:
+    program = spec.get("program", "student")
+    base = os.path.basename(str(program))
+    if base not in _PROGRAM_MAP:
+        raise ValueError(
+            f"unknown sweep program {program!r}; expected one of "
+            f"{sorted(_PROGRAM_MAP)}"
+        )
+    return _PROGRAM_MAP[base]
+
+
+def trial_config(spec: dict, rng: random.Random):
+    """Draw one trial: ``(config, sampled_params, program)``.
+
+    Consumes exactly one trial's worth of the rng stream — resume replays
+    completed trials through this to realign the stream.
+    """
     import dataclasses
 
-    from llp_tpu.train.loop import run_student, run_teacher
     from llp_tpu.utils.config import StudentConfig, TeacherConfig
 
-    program = spec.get("program", "student")
+    program = _resolve_program(spec)
+    cls = StudentConfig if program == "student" else TeacherConfig
+    names = {f.name for f in dataclasses.fields(cls)}
+    sampled = sample_params(spec.get("parameters", {}), rng)
+    sampled = {_RENAME.get(k, k): v for k, v in sampled.items()}
+    cfg_kwargs = {
+        k: v for k, v in (spec.get("base") or {}).items() if k in names
+    }
+    cfg_kwargs.update({k: v for k, v in sampled.items() if k in names})
+    return cls(**cfg_kwargs), sampled, program
+
+
+def run_sweep(spec: dict, *, out_path: str | None = None, seed: int = 0,
+              max_trials: int | None = None, verbose: bool = True,
+              resume: bool = False) -> dict:
+    from llp_tpu.train.loop import run_student, run_teacher
+
     metric = spec.get("metric", {}).get("name", "Hits@20")
     trials = max_trials if max_trials is not None else spec.get("trials", 20)
     rng = random.Random(seed)
 
-    cls = StudentConfig if program == "student" else TeacherConfig
-    names = {f.name for f in dataclasses.fields(cls)}
-    base = {k: v for k, v in (spec.get("base") or {}).items() if k in names}
-
     best = None
     history = []
-    for trial in range(trials):
-        sampled = sample_params(spec.get("parameters", {}), rng)
-        sampled = {_RENAME.get(k, k): v for k, v in sampled.items()}
-        cfg_kwargs = dict(base)
-        cfg_kwargs.update({k: v for k, v in sampled.items() if k in names})
-        cfg = cls(**cfg_kwargs)
+    start = 0
+    if resume and out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        history = prev.get("history", [])
+        best = prev.get("best")
+        start = len(history)
+        # Replay the completed trials' draws so trial i samples the same
+        # parameters it would have in an uninterrupted sweep.
+        for _ in range(start):
+            sample_params(spec.get("parameters", {}), rng)
+        if verbose and start:
+            print(f"[sweep] resuming at trial {start}/{trials}")
+
+    def _flush():
+        if out_path:
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump({"best": best, "history": history}, f, indent=2)
+
+    for trial in range(start, trials):
+        cfg, sampled, program = trial_config(spec, rng)
         runner = run_student if program == "student" else run_teacher
         stats, _ = runner(cfg, verbose=False)
         val = stats.get(metric, {}).get("valid", stats.get(metric, {}).get("val", (0,)))[0]
@@ -100,10 +148,8 @@ def run_sweep(spec: dict, *, out_path: str | None = None, seed: int = 0,
                 f"[sweep trial {trial + 1}/{trials}] {metric} valid={val:.2f} "
                 f"test={test:.2f} (best valid={best['valid']:.2f})"
             )
-        if out_path:
-            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-            with open(out_path, "w") as f:
-                json.dump({"best": best, "history": history}, f, indent=2)
+        _flush()
+    _flush()
     return {"best": best, "history": history}
 
 
@@ -115,6 +161,12 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None, help="JSON results path")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="continue a half-finished sweep from --out (replays completed "
+             "trials' RNG draws so remaining trials match the uninterrupted "
+             "stream)",
+    )
     p.add_argument("--device", type=str, default="auto")
     args = p.parse_args(argv)
 
@@ -124,7 +176,8 @@ def main(argv=None):
     with open(args.config) as f:
         spec = yaml.safe_load(f)
     result = run_sweep(
-        spec, out_path=args.out, seed=args.seed, max_trials=args.trials
+        spec, out_path=args.out, seed=args.seed, max_trials=args.trials,
+        resume=args.resume,
     )
     print(json.dumps(result["best"], indent=2))
 
