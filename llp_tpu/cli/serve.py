@@ -132,6 +132,8 @@ def main(argv=None):
                 params["predictor"], h,
                 Mesh(np.array(devs), ("data",)),
                 mode=mode, block=args.block, approx=args.approx,
+                compute_dtype=(jnp.bfloat16
+                               if args.compute_dtype == "bfloat16" else None),
             )
             out["shards"] = len(devs)
         else:

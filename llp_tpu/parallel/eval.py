@@ -376,6 +376,7 @@ def make_sharded_topk_partners(
     axis: str = "data",
     exclude_self: bool = True,
     approx: bool = False,
+    compute_dtype=None,
 ):
     """Distributed top-K partner retrieval over a NODE-SHARDED embedding table
     (the multi-chip counterpart of :func:`llp_tpu.serve.top_k_partners`).
@@ -395,6 +396,15 @@ def make_sharded_topk_partners(
     """
 
     def device_fn(params, h_shard, q_h, query_ids):
+        if compute_dtype is not None:
+            # Scoring in the reduced dtype (the 'mlp' decoder is FLOP-bound:
+            # bf16 is its ~2x lever — llp_tpu.serve.engine semantics); the
+            # per-block/cross-shard merges stay fp32 (block_scores upcasts).
+            from llp_tpu.utils.precision import cast_params
+
+            params = cast_params(params, compute_dtype)
+            q_h = q_h.astype(compute_dtype)
+            h_shard = h_shard.astype(compute_dtype)
         nl = h_shard.shape[0]
         blk = min(block, nl)
         nb = -(-nl // blk)

@@ -13,10 +13,14 @@ TPU-shaped details:
   the next power of two before hitting the jitted retrieval/scoring programs,
   so arbitrary request sizes reuse a logarithmic number of compiled programs
   instead of recompiling per length (XLA recompiles on any shape change).
-* **Single-threaded device access** — requests are served sequentially
-  (stdlib ``HTTPServer``); a TPU chip is a single-client resource and the
-  engine programs already batch internally, so concurrency belongs in the
-  batch dimension, not in threads.
+* **Serialized device access with bounded backpressure** — a TPU chip is a
+  single-client resource and the engine programs already batch internally,
+  so concurrency belongs in the batch dimension, not in threads.  The
+  daemon therefore runs ONE request on the device at a time (an engine
+  lock), but accepts concurrent connections (``ThreadingHTTPServer``) into
+  a bounded wait queue: a second client queues in FIFO order instead of
+  blocking at the TCP accept level, and a client past the queue bound gets
+  an orderly ``503 {"error": ...}`` instead of an ever-growing backlog.
 
 Endpoints (all JSON):
 
@@ -32,12 +36,13 @@ from __future__ import annotations
 
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
 import numpy as np
 
 MAX_BODY_BYTES = 16 << 20  # reject absurd request bodies before parsing
+MAX_QUEUE = 8  # in-flight + waiting POSTs beyond this get an orderly 503
 
 
 def _bucket(n: int, floor: int = 8) -> int:
@@ -83,7 +88,14 @@ class ServingState:
     def topk(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         from llp_tpu.serve.engine import top_k_partners
 
-        qi = np.asarray(queries, np.int32).reshape(-1)
+        qi = np.asarray(queries, np.int32)
+        if qi.ndim != 1:
+            # A nested payload silently flattened would return rows the
+            # client can't line up with its queries — reject instead.
+            raise ValueError(
+                f"queries must be a flat list of node ids, got a "
+                f"{qi.ndim}-D array of shape {qi.shape}"
+            )
         self._check_ids(qi, "queries")
         if qi.size > self.max_queries:
             raise ValueError(
@@ -142,7 +154,8 @@ class ShardedServingState(ServingState):
     """
 
     def __init__(self, predictor_params, h, mesh, *, mode: str = "mlp",
-                 block: int = 4096, approx: bool = False, axis: str = "data"):
+                 block: int = 4096, approx: bool = False, axis: str = "data",
+                 compute_dtype=None):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -154,7 +167,7 @@ class ShardedServingState(ServingState):
             h = jnp.concatenate([h, jnp.zeros((pad, h.shape[1]), h.dtype)])
         h = jax.device_put(h, NamedSharding(mesh, P(axis, None)))
         super().__init__(predictor_params, h, mode=mode, block=block,
-                         approx=approx)
+                         approx=approx, compute_dtype=compute_dtype)
         self.num_nodes = n  # id validation against REAL rows, not padding
         self.mesh = mesh
         self.axis = axis
@@ -167,7 +180,12 @@ class ShardedServingState(ServingState):
     def topk(self, queries, k: int):
         from llp_tpu.parallel.eval import make_sharded_topk_partners
 
-        qi = np.asarray(queries, np.int32).reshape(-1)
+        qi = np.asarray(queries, np.int32)
+        if qi.ndim != 1:
+            raise ValueError(
+                f"queries must be a flat list of node ids, got a "
+                f"{qi.ndim}-D array of shape {qi.shape}"
+            )
         self._check_ids(qi, "queries")
         if qi.size > self.max_queries:
             raise ValueError(
@@ -180,6 +198,7 @@ class ShardedServingState(ServingState):
             self._topk_fns[k] = make_sharded_topk_partners(
                 self.mesh, k=k, mode=self.mode, num_nodes=self.num_nodes,
                 block=self.block, axis=self.axis, approx=self.approx,
+                compute_dtype=self.compute_dtype,
             )
         q = qi.size
         qp = np.zeros((_bucket(q),), np.int32)
@@ -189,7 +208,12 @@ class ShardedServingState(ServingState):
         return np.asarray(vals)[:q], np.asarray(ids)[:q]
 
 
-def _make_handler(state: ServingState):
+def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE):
+    # One device program at a time (the chip is a single-client resource);
+    # up to max_queue POSTs may be in flight + waiting, the rest get 503.
+    engine_lock = threading.Lock()
+    slots = threading.Semaphore(max_queue)
+
     class Handler(BaseHTTPRequestHandler):
         # quiet: no per-request stderr lines
         def log_message(self, fmt, *args):  # noqa: D102
@@ -223,6 +247,19 @@ def _make_handler(state: ServingState):
             except json.JSONDecodeError as e:
                 self._reply(400, {"error": f"bad JSON: {e}"})
                 return
+            if not slots.acquire(blocking=False):
+                self._reply(503, {
+                    "error": f"server busy: more than {max_queue} requests "
+                             f"queued; retry later"
+                })
+                return
+            try:
+                with engine_lock:  # one device program at a time, FIFO-ish
+                    self._dispatch(req)
+            finally:
+                slots.release()
+
+        def _dispatch(self, req):
             try:
                 if self.path == "/v1/topk":
                     vals, ids = state.topk(
@@ -253,10 +290,14 @@ def _make_handler(state: ServingState):
 
 
 def make_server(state: ServingState, host: str = "127.0.0.1",
-                port: int = 0) -> HTTPServer:
+                port: int = 0, *, max_queue: int = MAX_QUEUE) -> ThreadingHTTPServer:
     """Bind (but don't start) the daemon; ``server.server_port`` has the
-    actual port when ``port=0``."""
-    return HTTPServer((host, port), _make_handler(state))
+    actual port when ``port=0``.  Connections are handled concurrently but
+    the device work is serialized behind a lock with a ``max_queue``-bounded
+    wait queue (503 past it)."""
+    srv = ThreadingHTTPServer((host, port), _make_handler(state, max_queue))
+    srv.daemon_threads = True
+    return srv
 
 
 def serve_forever(state: ServingState, host: str = "127.0.0.1",
@@ -281,8 +322,8 @@ class BackgroundServer:
     """Thread-hosted server for tests / embedding in another process."""
 
     def __init__(self, state: ServingState, host: str = "127.0.0.1",
-                 port: int = 0):
-        self.server = make_server(state, host, port)
+                 port: int = 0, *, max_queue: int = MAX_QUEUE):
+        self.server = make_server(state, host, port, max_queue=max_queue)
         self.port = self.server.server_port
         self._thread: Optional[threading.Thread] = None
 

@@ -318,3 +318,93 @@ def test_request_size_caps():
         assert "too many pairs" in out["error"]
         assert len(_post(srv, "/v1/topk",
                          {"queries": [0, 1], "k": 2})["results"]) == 2
+
+
+def test_nested_queries_rejected(served):
+    """A nested queries payload (e.g. [[1,2],[3,4]]) must 400, not silently
+    flatten into unlabelable rows."""
+    _, srv, _, _ = served
+    out = _assert_http_error(
+        srv, "/v1/topk", {"queries": [[1, 2], [3, 4]], "k": 3}, 400)
+    assert "flat list" in out["error"]
+
+
+def test_concurrent_clients_both_served(served):
+    """Two clients POSTing at once both get 200s — the daemon queues the
+    second request behind the engine lock instead of blocking its TCP
+    connection unserviced."""
+    import concurrent.futures
+
+    _, srv, _, _ = served
+
+    def one(i):
+        return _post(srv, "/v1/topk", {"queries": [i, i + 1], "k": 3})
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(one, range(4)))
+    for i, out in enumerate(outs):
+        assert [r["query"] for r in out["results"]] == [i, i + 1]
+
+
+def test_backpressure_503_past_queue_bound():
+    """Requests past the bounded wait queue get an orderly 503 (VERDICT
+    weak #5), while queued ones still complete."""
+    import concurrent.futures
+    import threading
+    import urllib.error
+
+    class SlowState:
+        num_nodes, dim, mode, requests = 100, 4, "mlp", 0
+
+        def __init__(self):
+            self.release = threading.Event()
+
+        def topk(self, queries, k):
+            self.release.wait(timeout=30)
+            q = np.asarray(queries, np.int32)
+            return (np.zeros((q.size, k), np.float32),
+                    np.zeros((q.size, k), np.int32))
+
+        def score(self, pairs):
+            return np.zeros((len(pairs),), np.float32)
+
+    state = SlowState()
+    with BackgroundServer(state, max_queue=1) as srv:
+        def one(i):
+            try:
+                _post(srv, "/v1/topk", {"queries": [i], "k": 2})
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            futs = [ex.submit(one, i) for i in range(3)]
+            import time as _t
+
+            _t.sleep(1.0)  # let all three arrive while the first blocks
+            state.release.set()
+            codes = sorted(f.result() for f in futs)
+    assert codes.count(503) >= 1, codes
+    assert codes.count(200) >= 1, codes
+
+
+def test_sharded_compute_dtype_plumbs_through():
+    """--shard + --compute_dtype=bfloat16 is honored (was silently ignored):
+    bf16 sharded retrieval returns near-fp32 scores."""
+    from jax.sharding import Mesh
+
+    from llp_tpu.serve.server import ShardedServingState
+
+    n, hdim = 120, 16
+    key = jax.random.PRNGKey(6)
+    h = jax.random.normal(jax.random.fold_in(key, 1), (n, hdim), jnp.float32)
+    params = init_link_predictor(jax.random.fold_in(key, 2), "mlp",
+                                 hdim, hdim, 1, 2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fp32 = ShardedServingState(params, h, mesh, mode="mlp", block=32)
+    bf16 = ShardedServingState(params, h, mesh, mode="mlp", block=32,
+                               compute_dtype=jnp.bfloat16)
+    assert bf16.compute_dtype == jnp.bfloat16
+    v32, _ = fp32.topk([0, 7, 119], 5)
+    v16, _ = bf16.topk([0, 7, 119], 5)
+    np.testing.assert_allclose(v16, v32, atol=0.03)
