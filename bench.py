@@ -7,44 +7,76 @@ is llp_tpu's jit'd scan-per-epoch program; the baseline is the same math in
 plain torch on CPU (the reference's own stack, minus CUDA, which this
 environment lacks — the reference itself is CPU-runnable by design).
 
+TWO scales (the regimes BASELINE.md's rooflines show are different):
+
+* warm  — N=20k / D=256: the feature table (~20 MB) is cache-resident;
+  gathers run at ~500 GB/s.  The historical headline number.
+* cold  — collab shape, N=235,868 / D=128 / 3-layer SAGE: the ~120 MB table
+  misses cache and the per-SpMM random sender-gather is the wall (~100 GB/s
+  effective; BASELINE.md "Collab-scale teacher roofline").  Regressions in
+  the cold-gather path cannot hide behind the warm number.
+
+The headline JSON line reports the warm metric with a PINNED torch-CPU
+baseline: the CPU denominator is remeasured live (median of k best-step
+samples, recorded in "extra"), but the ratio divides by
+max(pinned, live_median) — the pinned floor is the best CPU rate ever
+observed on this host class, so transient host starvation (the 136×-2200×
+vs_baseline swings of rounds past) can no longer inflate the headline.
+
 Prints ONE JSON line:
   {"metric": "teacher_train_edges_per_sec", "value": ..., "unit": "edges/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "extra": {...cold scale + baseline samples...}}
+
+Env knobs: LLP_BENCH_SCALES=warm[,cold] (default both on TPU, warm-only
+elsewhere — the cold scale needs the real chip to say anything).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-# ---- workload ----------------------------------------------------------------
-N_NODES = 20_000
-AVG_DEG = 16.0
-DIM = 256
-HIDDEN = 256
-BATCH = 64 * 1024
-TPU_EPOCHS = 10
-SEED = 7
+# ---- workloads ----------------------------------------------------------------
+WARM = dict(n=20_000, k=16, deg=16.0, dim=256, hidden=256, layers=2,
+            batch=64 * 1024, epochs_per_call=10, seed=7)
+# collab stand-in shape (registry _REAL_SHAPES: N=235,868, D=128, deg 8.2;
+# teacher recipe: 3-layer SAGE — supervised_transductive.sh collab row)
+COLD = dict(n=235_868, k=64, deg=8.2, dim=128, hidden=256, layers=3,
+            batch=64 * 1024, epochs_per_call=1, seed=11)
+
+# Pinned torch-CPU baselines (edges scored/s) for this host class — floors
+# the live remeasurement can only RAISE, never undercut, so transient host
+# starvation cannot inflate vs_baseline.  Derivation (BASELINE.md "bench
+# baseline pinning", round 2): warm = best CPU rate ever implied by a
+# recorded bench run (8.85M/136x ≈ 65k; live best-step medians measure
+# 23-28k under load); cold = ~2x the best busy-host sample (5.4k; the
+# full-graph forward amortizes over one batch at collab scale, so the
+# per-edge rate drops ~10x from warm).
+PINNED_CPU_WARM = 65_000.0
+PINNED_CPU_COLD = 10_000.0
 
 
-def build_problem():
+def build_problem(spec):
     from llp_tpu.data.synthetic import community_features, sbm_graph
 
-    ei, comm = sbm_graph(N_NODES, 16, AVG_DEG, seed=SEED)
-    x = community_features(comm, DIM, kind="gauss", seed=SEED)
+    ei, comm = sbm_graph(spec["n"], spec["k"], spec["deg"], seed=spec["seed"])
+    x = community_features(comm, spec["dim"], kind="gauss", seed=spec["seed"])
     return ei.astype(np.int64), x
 
 
-def bench_tpu(ei: np.ndarray, x: np.ndarray) -> float:
+def bench_tpu(spec, ei: np.ndarray, x: np.ndarray) -> float:
     import jax
     import jax.numpy as jnp
 
     from llp_tpu.core import build_graph
     from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
 
-    graph = build_graph(ei, N_NODES)
+    n, dim, hidden = spec["n"], spec["dim"], spec["hidden"]
+    epc = spec["epochs_per_call"]
+    graph = build_graph(ei, n)
     xd = jnp.asarray(x)
     e = ei.shape[1]
     pos_edges = jnp.asarray(ei.T.astype(np.int32))
@@ -56,38 +88,39 @@ def bench_tpu(ei: np.ndarray, x: np.ndarray) -> float:
 
         prepare_segsum(graph)
 
-    # One device program runs all TPU_EPOCHS epochs (epoch-level scan):
+    # One device program runs all epochs_per_call epochs (epoch-level scan):
     # dispatch latency and the layer-1 aggregation hoist amortize across the
     # block — the same `epochs_per_jit` knob the CLI driver exposes.
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder="sage",
         predictor_mode="mlp",
         dropout=0.0,
-        num_nodes=N_NODES,
+        num_nodes=n,
         num_pos_edges=e,
-        link_batch_size=BATCH,
+        link_batch_size=spec["batch"],
         neg_mode="uniform",
         lr=0.005,
         spmm_impl=impl,
-        epochs_per_call=TPU_EPOCHS,
+        epochs_per_call=epc,
     )
     params = init_teacher_params(
-        jax.random.PRNGKey(0), encoder="sage", in_channels=DIM,
-        hidden_channels=HIDDEN, num_layers=2, predictor_mode="mlp",
+        jax.random.PRNGKey(0), encoder="sage", in_channels=dim,
+        hidden_channels=hidden, num_layers=spec["layers"],
+        predictor_mode="mlp",
     )
     opt_state = tx.init(params)
 
     def consume(params, loss):
         # device->host reads; block_until_ready is unreliable on the axon
         # runtime, but a host read cannot complete before the value exists.
-        return float(loss[-1]) + float(
+        return float(loss[-1] if epc > 1 else loss) + float(
             params["encoder"]["convs"][0]["lin_l"]["w"][0, 0]
         )
 
     def timed(params, opt_state, key0):
-        keys = jnp.stack(
-            [jax.random.PRNGKey(key0 + i) for i in range(TPU_EPOCHS)]
-        )
+        keys = jnp.stack([jax.random.PRNGKey(key0 + i) for i in range(epc)])
+        if epc == 1:
+            keys = keys[0]
         t0 = time.perf_counter()
         params, opt_state, losses = epoch_fn(
             params, opt_state, keys, graph, xd, pos_edges, neg_keys,
@@ -98,16 +131,20 @@ def bench_tpu(ei: np.ndarray, x: np.ndarray) -> float:
     # warmup/compile
     _, params, opt_state = timed(params, opt_state, 1)
     dt, params, opt_state = timed(params, opt_state, 100)
-    return 2 * e * TPU_EPOCHS / dt
+    return 2 * e * epc / dt
 
 
-def bench_torch_cpu(ei: np.ndarray, x: np.ndarray, max_steps: int = 6) -> float:
+def bench_torch_cpu(spec, ei: np.ndarray, x: np.ndarray,
+                    max_steps: int = 6) -> float:
     """Equivalent teacher step in plain torch (CPU): same model math, same
-    batch/negative protocol. Extrapolates from a few steps."""
+    batch/negative protocol. Extrapolates per-edge rate from the FASTEST
+    step (the 2-core host is intermittently starved by the TPU tunnel
+    process; the fastest step is the baseline's honest capability)."""
     import torch
 
     torch.manual_seed(0)
-    n, d, h = N_NODES, DIM, HIDDEN
+    n, d, h = spec["n"], spec["dim"], spec["hidden"]
+    batch = spec["batch"]
     e = ei.shape[1]
     src = torch.from_numpy(ei[0])
     dst = torch.from_numpy(ei[1])
@@ -115,34 +152,35 @@ def bench_torch_cpu(ei: np.ndarray, x: np.ndarray, max_steps: int = 6) -> float:
     xt = torch.from_numpy(x)
 
     lin = lambda i, o: torch.nn.Linear(i, o)
-    enc = torch.nn.ModuleDict(
-        dict(l1l=lin(d, h), l1r=lin(d, h), l2l=lin(h, h), l2r=lin(h, h))
+    dims = [d] + [h] * spec["layers"]
+    enc = torch.nn.ModuleList(
+        [torch.nn.ModuleDict(dict(ll=lin(dims[i], dims[i + 1]),
+                                  lr=lin(dims[i], dims[i + 1])))
+         for i in range(spec["layers"])]
     )
     pred = torch.nn.Sequential(lin(h, h), torch.nn.ReLU(), lin(h, 1))
-    opt = torch.optim.Adam(list(enc.parameters()) + list(pred.parameters()), lr=0.005)
+    opt = torch.optim.Adam(list(enc.parameters()) + list(pred.parameters()),
+                           lr=0.005)
     bce = torch.nn.BCELoss()
 
     def sage_fwd():
-        def conv(feats, ll, lr):
+        feats = xt
+        for i, layer in enumerate(enc):
             agg = torch.zeros(n, feats.shape[1]).index_add_(0, dst, feats[src])
             agg = agg / deg[:, None]
-            return ll(agg) + lr(feats)
+            feats_new = layer["ll"](agg) + layer["lr"](feats)
+            feats = torch.relu(feats_new) if i < len(enc) - 1 else feats_new
+        return feats
 
-        z = torch.relu(conv(xt, enc["l1l"], enc["l1r"]))
-        return conv(z, enc["l2l"], enc["l2r"])
-
-    steps = -(-e // BATCH)
+    steps = -(-e // batch)
     timed = min(max_steps, steps)
     perm = torch.randperm(e)
-    # Per-step timing, best step kept: the 2-core host is intermittently
-    # starved by the TPU tunnel process, so a sum-of-steps measurement
-    # swings wildly; the FASTEST step is the baseline's honest capability.
     best = float("inf")
     for i in range(timed):
         t0 = time.perf_counter()
         opt.zero_grad()
         z = sage_fwd()
-        idx = perm[i * BATCH : (i + 1) * BATCH]
+        idx = perm[i * batch : (i + 1) * batch]
         b = idx.numel()
         pe_src, pe_dst = src[idx], dst[idx]
         ne = torch.randint(0, n, (2, b))
@@ -160,17 +198,53 @@ def bench_torch_cpu(ei: np.ndarray, x: np.ndarray, max_steps: int = 6) -> float:
     return 1.0 / best
 
 
+def _cpu_baseline(spec, ei, x, pinned: float, k: int):
+    """Live median-of-k best-step samples, floored by the pinned constant."""
+    samples = [round(bench_torch_cpu(spec, ei, x), 1) for _ in range(k)]
+    live = float(np.median(samples))
+    return max(pinned, live), {"live_median": live, "samples": samples,
+                               "pinned": pinned}
+
+
 def main():
-    ei, x = build_problem()
-    tpu_eps = bench_tpu(ei, x)
-    cpu_eps = bench_torch_cpu(ei, x)
+    scales = os.environ.get("LLP_BENCH_SCALES")
+    if scales is None:
+        import jax
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        scales = "warm,cold" if on_tpu else "warm"
+    scales = [s for s in scales.split(",") if s]
+
+    extra = {}
+
+    ei, x = build_problem(WARM)
+    warm_tpu = bench_tpu(WARM, ei, x)
+    warm_cpu, warm_cpu_info = _cpu_baseline(WARM, ei, x, PINNED_CPU_WARM, k=3)
+    extra["warm_cpu_baseline"] = warm_cpu_info
+
+    if "cold" in scales:
+        ei_c, x_c = build_problem(COLD)
+        cold_tpu = bench_tpu(COLD, ei_c, x_c)
+        # One live sample only — a collab-scale torch step costs tens of
+        # seconds; the pinned constant is the stable floor.
+        cold_cpu, cold_cpu_info = _cpu_baseline(
+            COLD, ei_c, x_c, PINNED_CPU_COLD, k=1
+        )
+        extra["cold"] = {
+            "metric": "teacher_train_edges_per_sec_collab_scale",
+            "value": round(cold_tpu, 1),
+            "vs_baseline": round(cold_tpu / cold_cpu, 2),
+            "cpu_baseline": cold_cpu_info,
+        }
+
     print(
         json.dumps(
             {
                 "metric": "teacher_train_edges_per_sec",
-                "value": round(tpu_eps, 1),
+                "value": round(warm_tpu, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(tpu_eps / cpu_eps, 2),
+                "vs_baseline": round(warm_tpu / warm_cpu, 2),
+                "extra": extra,
             }
         )
     )

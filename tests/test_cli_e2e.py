@@ -135,11 +135,20 @@ def test_cli_halo_sharding(tmp_path):
         tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_supervised_transductive.txt"
     )
     teacher_main(common + ["--runs=1", "--batch_size=1024", "--encoder=gcn"])
+    # The full inter-layer norm surface trains halo-sharded too: layer norm
+    # (per-row) and batch norm (psum'd cross-device statistics).
+    teacher_main(common + ["--runs=1", "--batch_size=1024", "--norm_type=layer"])
+    teacher_main(common + ["--runs=1", "--batch_size=1024", "--norm_type=batch"])
     # Student + halo = table-sharded features; requires minibatch.
     with pytest.raises(ValueError, match="minibatch"):
         student_main(common + ["--runs=1", "--link_batch_size=1024"])
     student_main(
         common + ["--runs=1", "--link_batch_size=1024", "--minibatch"]
+    )
+    # Sharded minibatch + batch norm (was a NotImplementedError).
+    student_main(
+        common + ["--runs=1", "--link_batch_size=1024", "--minibatch",
+                  "--norm_type=batch"]
     )
     assert os.path.exists(
         tmp_path / "results" / "synthetic:sbm:200:4:6.0:7_KD_transductive.txt"
