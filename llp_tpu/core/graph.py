@@ -92,6 +92,11 @@ class Graph:
     # weighted when this is set (weighted mean for SAGE, weighted sym-norm
     # for GCN — the intended weighted-graph semantics).
     edge_weight: Optional[jnp.ndarray] = None
+    # (N,) float32 Σ of incident real-edge weights per receiver, precomputed
+    # at build time.  Kept on the Graph (not recomputed from edge_weight)
+    # so the DP-sharded epoch — where each device sees only its edge slice —
+    # still normalizes by the GLOBAL weighted degree without a collective.
+    w_in_degree: Optional[jnp.ndarray] = None
 
     @property
     def num_padded_edges(self) -> int:
@@ -134,7 +139,7 @@ def build_graph(
     mask = np.zeros((e_pad,), bool)
     mask[:e] = True
 
-    ew = None
+    ew = wdeg = None
     if edge_weight is not None:
         edge_weight = np.asarray(edge_weight, np.float32).reshape(-1)
         if edge_weight.shape[0] != e:
@@ -144,6 +149,12 @@ def build_graph(
         w = np.zeros((e_pad,), np.float32)
         w[:e] = edge_weight[r_order]
         ew = jnp.asarray(w)
+        wdeg = jnp.asarray(
+            np.bincount(
+                recv_real, weights=edge_weight.astype(np.float64),
+                minlength=num_nodes,
+            ).astype(np.float32)
+        )
 
     # CSR by sender (stable sort keeps deterministic neighbor order).
     s_order = np.argsort(send_real, kind="stable")
@@ -176,6 +187,7 @@ def build_graph(
         receiver_sorted=True,
         cache_token=token,
         edge_weight=ew,
+        w_in_degree=wdeg,
     )
 
 

@@ -99,9 +99,15 @@ def spmm(
 def weighted_in_degree(graph: Graph) -> jnp.ndarray:
     """Σ of real-edge weights into each receiver, (N,) fp32.
 
-    Padded edges carry weight 0 and receiver == num_nodes (out of range, the
-    segment op drops them) so no masking is needed.
+    ``build_graph`` precomputes this (``w_in_degree``) — essential under
+    edge sharding, where each device's ``edge_weight`` is a slice and a
+    local recompute would be a partial sum.  The fallback recompute serves
+    hand-built single-device graphs (padded edges carry weight 0 and
+    receiver == num_nodes, so the segment op drops them natively).
     """
+    wdeg = getattr(graph, "w_in_degree", None)
+    if wdeg is not None:
+        return wdeg
     if graph.edge_weight is None:
         raise ValueError("graph carries no edge weights")
     return jax.ops.segment_sum(

@@ -58,9 +58,14 @@ _EPS = 1e-12
 
 def _graph_specs(graph, axis: str):
     """PartitionSpec pytree for a Graph: COO edge arrays sharded, rest
-    replicated (CSR + degrees feed walks / mean-normalization globally)."""
+    replicated (CSR + degrees feed walks / mean-normalization globally;
+    w_in_degree stays replicated — that's exactly why build_graph
+    precomputes it)."""
     spec = jax.tree_util.tree_map(lambda _: P(), graph)
-    return spec.replace(senders=P(axis), receivers=P(axis), edge_mask=P(axis))
+    spec = spec.replace(senders=P(axis), receivers=P(axis), edge_mask=P(axis))
+    if graph.edge_weight is not None:
+        spec = spec.replace(edge_weight=P(axis))
+    return spec
 
 
 def _check_divisible(graph, ndev: int):
@@ -84,13 +89,18 @@ def _make_local_spmm(axis: str, local_sum=None, lay=()):
     def impl_fn(g, x, reduce, edge_weight):
         if reduce not in ("sum", "mean"):
             raise ValueError(f"sharded spmm supports sum/mean, got {reduce!r}")
-        if edge_weight is not None:
-            raise ValueError("edge_weight is not supported in the sharded epoch")
         acc = jnp.float32
-        if local_sum is not None:
+        if local_sum is not None and edge_weight is None:
             out = local_sum(x, *lay)
         else:
+            # edge_weight (when set) is the caller's per-edge scalar over the
+            # SAME local edge slice as g.senders — the weighted-mean /
+            # weighted-sym-norm paths derive it from the sharded
+            # graph.edge_weight and the replicated precomputed w_in_degree,
+            # so the local product + psum is the exact global aggregation.
             msgs = jnp.take(x, g.senders, axis=0).astype(acc)
+            if edge_weight is not None:
+                msgs = msgs * edge_weight.astype(acc)[:, None]
             msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
             out = jax.ops.segment_sum(
                 msgs, g.receivers, num_segments=g.num_nodes, indices_are_sorted=True

@@ -56,10 +56,17 @@ def shard_edges(graph: Graph, n_shards: int) -> Graph:
     pad_b = onp.zeros((extra,), bool)
     import jax.numpy as jnp
 
-    return graph.replace(
+    out = graph.replace(
         senders=jnp.concatenate([graph.senders, jnp.asarray(pad_zero)]),
         receivers=jnp.concatenate([graph.receivers, jnp.asarray(pad_n)]),
         edge_mask=jnp.concatenate([graph.edge_mask, jnp.asarray(pad_b)]),
         col=jnp.concatenate([graph.col, jnp.asarray(pad_zero)]),
         csr_row=jnp.concatenate([graph.csr_row, jnp.asarray(pad_n)]),
     )
+    if graph.edge_weight is not None:
+        out = out.replace(
+            edge_weight=jnp.concatenate(
+                [graph.edge_weight, jnp.zeros((extra,), jnp.float32)]
+            )
+        )
+    return out

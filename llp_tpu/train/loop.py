@@ -112,10 +112,14 @@ def _dataset_edge_weight(cfg, ds):
             f"use_edge_weight requested but dataset {ds.name!r} carries no "
             f"edge weights (only the ogbl-collab download ships them)"
         )
-    if max(1, getattr(cfg, "num_devices", 1)) > 1:
+    if (
+        max(1, getattr(cfg, "num_devices", 1)) > 1
+        and getattr(cfg, "sharding", "dp") == "halo"
+    ):
         raise NotImplementedError(
-            "use_edge_weight is a single-device training path for now "
-            "(the sharded epoch programs aggregate unweighted)"
+            "use_edge_weight supports single-device and DP-sharded training; "
+            "the halo (feature-sharded) epoch aggregates unweighted — use "
+            "--sharding=dp"
         )
     return ds.edge_weight
 

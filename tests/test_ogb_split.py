@@ -283,14 +283,23 @@ def test_weighted_collab_teacher_e2e(tmp_path):
     assert "split: ogb:time" in res
 
 
-def test_weighted_rejects_multi_device(tmp_path):
+def test_weighted_sharding_gates(tmp_path):
+    """Weighted training runs single-device and DP-sharded; the halo
+    (feature-sharded) epoch aggregates unweighted and is rejected loudly."""
     from llp_tpu.train.loop import prepare_transductive
     from llp_tpu.utils.config import TeacherConfig
 
     _make_ogb_dir(str(tmp_path))
     cfg = TeacherConfig(
         datasets="collab", dataset_dir=str(tmp_path), use_edge_weight=True,
-        num_devices=2,
+        num_devices=2, sharding="halo",
     ).finalize()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="halo"):
         prepare_transductive(cfg)
+    cfg = TeacherConfig(
+        datasets="collab", dataset_dir=str(tmp_path), use_edge_weight=True,
+        num_devices=2, sharding="dp",
+    ).finalize()
+    data = prepare_transductive(cfg)  # DP: weights shard with the edges
+    assert data["graph"].edge_weight is not None
+    assert data["graph"].w_in_degree is not None

@@ -118,6 +118,34 @@ def test_sharded_teacher_segsum_layouts_path():
     _assert_trees_close(p_sh, p_ref)
 
 
+@pytest.mark.parametrize("encoder", ["sage", "gcn"])
+def test_sharded_teacher_weighted_matches_single_device(encoder):
+    """Edge-WEIGHTED DP training: per-edge weights shard with the edges, the
+    precomputed (replicated) weighted in-degree normalizes, and the sharded
+    trajectory reproduces the single-device weighted epoch."""
+    n, d = 200, 32
+    from llp_tpu.data.synthetic import community_features, sbm_graph
+
+    ei, comm = sbm_graph(n, 4, 6.0, seed=5)
+    rng = np.random.default_rng(3)
+    w = rng.uniform(0.5, 4.0, size=ei.shape[1]).astype(np.float32)
+    x = jnp.asarray(community_features(comm, d, kind="gauss", seed=5))
+    g = build_graph(ei, n, edge_weight=w)
+    pos = jnp.asarray(ei.T.astype(np.int32))
+    keys = jnp.asarray(edge_hash_keys(ei, n))
+    kw = _teacher_kwargs(g, pos, encoder=encoder)
+    ref_fn, tx = make_teacher_epoch_fn(**kw, spmm_impl="xla")
+    sh_fn, _ = make_sharded_teacher_epoch_fn(_mesh(), **kw)
+    params = init_teacher_params(
+        jax.random.PRNGKey(0), encoder=encoder, in_channels=d,
+        hidden_channels=32, num_layers=2, predictor_mode="mlp",
+    )
+    p_ref, l_ref = _run_epochs(ref_fn, tx, params, (g, x, pos, keys), 2)
+    p_sh, l_sh = _run_epochs(sh_fn, tx, params, (g, x, pos, keys), 2)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-4, atol=1e-5)
+    _assert_trees_close(p_sh, p_ref)
+
+
 def test_sharded_teacher_epochs_per_call_fusion():
     g, x, pos, keys = _problem()
     kw = _teacher_kwargs(g, pos)
