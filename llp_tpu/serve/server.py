@@ -16,11 +16,21 @@ TPU-shaped details:
 * **Serialized device access with bounded backpressure** — a TPU chip is a
   single-client resource and the engine programs already batch internally,
   so concurrency belongs in the batch dimension, not in threads.  The
-  daemon therefore runs ONE request on the device at a time (an engine
-  lock), but accepts concurrent connections (``ThreadingHTTPServer``) into
-  a bounded wait queue: a second client queues in FIFO order instead of
-  blocking at the TCP accept level, and a client past the queue bound gets
-  an orderly ``503 {"error": ...}`` instead of an ever-growing backlog.
+  daemon therefore runs ONE device program at a time (a single worker
+  thread), but accepts concurrent connections (``ThreadingHTTPServer``)
+  into a bounded wait queue: a second client queues in FIFO order instead
+  of blocking at the TCP accept level, and a client past the queue bound
+  gets an orderly ``503 {"error": ...}`` instead of an ever-growing backlog.
+* **Cross-request dynamic batching** — requests that queue while a device
+  program runs are MERGED for the next one: same-``k`` top-k queries
+  concatenate into one padded retrieval call, score requests into one pair
+  batch (chunked at the per-request caps).  Results are exact (each row is
+  independent), and under concurrency the measured ~35 ms/request
+  per-dispatch floor (BASELINE.md, the axon tunnel's fixed cost) is paid
+  once per BATCH instead of once per request.  No timers: batch size adapts
+  to the backlog — an idle daemon serves single requests at single-request
+  latency.  Validation runs per request BEFORE merging, so one bad request
+  400s alone and can never poison a batch.
 
 Endpoints (all JSON):
 
@@ -35,6 +45,7 @@ No third-party dependencies: stdlib ``http.server`` + ``json`` only.
 from __future__ import annotations
 
 import json
+import queue as _queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
@@ -88,22 +99,7 @@ class ServingState:
     def topk(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         from llp_tpu.serve.engine import top_k_partners
 
-        qi = np.asarray(queries, np.int32)
-        if qi.ndim != 1:
-            # A nested payload silently flattened would return rows the
-            # client can't line up with its queries — reject instead.
-            raise ValueError(
-                f"queries must be a flat list of node ids, got a "
-                f"{qi.ndim}-D array of shape {qi.shape}"
-            )
-        self._check_ids(qi, "queries")
-        if qi.size > self.max_queries:
-            raise ValueError(
-                f"too many queries ({qi.size} > {self.max_queries}); "
-                f"split the request"
-            )
-        if not 1 <= k <= self.num_nodes - 1:
-            raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
+        qi = self.validate_topk(queries, k)
         q = qi.size
         qp = np.zeros((_bucket(q),), np.int32)
         qp[:q] = qi  # pad with node 0: same program shape for any |queries|
@@ -116,6 +112,37 @@ class ServingState:
     def score(self, pairs) -> np.ndarray:
         from llp_tpu.serve.engine import score_pairs
 
+        arr = self.validate_score(pairs)
+        m = arr.shape[0]
+        pp = np.zeros((_bucket(m), 2), np.int32)
+        pp[:m] = arr
+        out = score_pairs(
+            self.params, self.h, pp[:, 0], pp[:, 1], mode=self.mode,
+            fused=self.fused,
+        )
+        return np.asarray(out)[:m]
+
+    def validate_topk(self, queries, k: int) -> np.ndarray:
+        """Per-request validation (no device work): returns the flat id
+        array or raises ValueError.  Runs BEFORE cross-request batching so a
+        bad request can never poison a merged batch."""
+        qi = np.asarray(queries, np.int32)
+        if qi.ndim != 1:
+            raise ValueError(
+                f"queries must be a flat list of node ids, got a "
+                f"{qi.ndim}-D array of shape {qi.shape}"
+            )
+        self._check_ids(qi, "queries")
+        if qi.size > self.max_queries:
+            raise ValueError(
+                f"too many queries ({qi.size} > {self.max_queries}); "
+                f"split the request"
+            )
+        if not 1 <= k <= self.num_nodes - 1:
+            raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
+        return qi
+
+    def validate_score(self, pairs) -> np.ndarray:
         arr = np.asarray(pairs, np.int32)
         if arr.ndim != 2 or arr.shape[1] != 2:
             raise ValueError("pairs must be a list of [src, dst] id pairs")
@@ -125,14 +152,7 @@ class ServingState:
                 f"split the request"
             )
         self._check_ids(arr.reshape(-1), "pairs")
-        m = arr.shape[0]
-        pp = np.zeros((_bucket(m), 2), np.int32)
-        pp[:m] = arr
-        out = score_pairs(
-            self.params, self.h, pp[:, 0], pp[:, 1], mode=self.mode,
-            fused=self.fused,
-        )
-        return np.asarray(out)[:m]
+        return arr
 
     def warmup(self, k: int = 10) -> None:
         """Pre-compile the smallest request bucket so the first real query
@@ -180,20 +200,7 @@ class ShardedServingState(ServingState):
     def topk(self, queries, k: int):
         from llp_tpu.parallel.eval import make_sharded_topk_partners
 
-        qi = np.asarray(queries, np.int32)
-        if qi.ndim != 1:
-            raise ValueError(
-                f"queries must be a flat list of node ids, got a "
-                f"{qi.ndim}-D array of shape {qi.shape}"
-            )
-        self._check_ids(qi, "queries")
-        if qi.size > self.max_queries:
-            raise ValueError(
-                f"too many queries ({qi.size} > {self.max_queries}); "
-                f"split the request"
-            )
-        if not 1 <= k <= self.num_nodes - 1:
-            raise ValueError(f"k must be in [1, {self.num_nodes - 1}], got {k}")
+        qi = self.validate_topk(queries, k)
         if k not in self._topk_fns:
             self._topk_fns[k] = make_sharded_topk_partners(
                 self.mesh, k=k, mode=self.mode, num_nodes=self.num_nodes,
@@ -208,10 +215,113 @@ class ShardedServingState(ServingState):
         return np.asarray(vals)[:q], np.asarray(ids)[:q]
 
 
-def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE):
-    # One device program at a time (the chip is a single-client resource);
+class BatchingEngine:
+    """Single-worker device executor with cross-request batching.
+
+    One thread owns all device work (the chip is a single-client resource).
+    Each drain cycle it takes EVERYTHING queued: same-``k`` top-k requests
+    concatenate into one padded retrieval call and score requests into one
+    pair batch (chunked at the state's per-request caps), then per-request
+    slices resolve each waiter.  Payloads arrive pre-validated
+    (``validate_topk``/``validate_score``), so merged execution cannot fail
+    on one request's bad input.  Exactness: every output row depends only on
+    its own query/pair, so merged results equal sequential ones.
+    """
+
+    def __init__(self, state: ServingState):
+        self.state = state
+        self.queue: _queue.Queue = _queue.Queue()
+        self.batched_calls = 0   # device calls issued
+        self.batched_requests = 0  # requests served through them
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, kind: str, payload) -> dict:
+        item = {"kind": kind, "payload": payload,
+                "done": threading.Event(), "result": None, "error": None}
+        self.queue.put(item)
+        return item
+
+    def call(self, kind: str, payload, timeout: float = 600.0):
+        item = self.submit(kind, payload)
+        if not item["done"].wait(timeout):
+            raise TimeoutError("device worker did not answer in time")
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self):
+        while True:
+            items = [self.queue.get()]
+            try:
+                while True:
+                    items.append(self.queue.get_nowait())
+            except _queue.Empty:
+                pass
+            self._execute(items)
+
+    def _execute(self, items):
+        topk_groups: dict = {}
+        scores = []
+        for it in items:
+            if it["kind"] == "topk":
+                topk_groups.setdefault(it["payload"][1], []).append(it)
+            else:
+                scores.append(it)
+        for k, group in topk_groups.items():
+            self._run_chunked(
+                group, cap=self.state.max_queries,
+                sizes=[it["payload"][0].size for it in group],
+                concat=lambda its: np.concatenate(
+                    [it["payload"][0] for it in its]
+                ),
+                run=lambda merged, k=k: self.state.topk(merged, k),
+                split=lambda res, off, n: (res[0][off:off + n],
+                                           res[1][off:off + n]),
+            )
+        if scores:
+            self._run_chunked(
+                scores, cap=self.state.max_pairs,
+                sizes=[it["payload"].shape[0] for it in scores],
+                concat=lambda its: np.concatenate(
+                    [it["payload"] for it in its], axis=0
+                ),
+                run=self.state.score,
+                split=lambda res, off, n: res[off:off + n],
+            )
+
+    def _run_chunked(self, items, *, cap, sizes, concat, run, split):
+        # Greedy chunks that respect the per-call cap (a single request is
+        # already validated <= cap).
+        i = 0
+        while i < len(items):
+            j, total = i, 0
+            while j < len(items) and total + sizes[j] <= cap:
+                total += sizes[j]
+                j += 1
+            chunk = items[i:j]
+            try:
+                res = run(concat(chunk))
+                self.batched_calls += 1
+                self.batched_requests += len(chunk)
+                off = 0
+                for it, n in zip(chunk, sizes[i:j]):
+                    it["result"] = split(res, off, n)
+                    off += n
+            except Exception as e:  # noqa: BLE001 — resolve every waiter
+                for it in chunk:
+                    it["error"] = e
+            finally:
+                for it in chunk:
+                    it["done"].set()
+            i = j
+
+
+def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE,
+                  engine: Optional[BatchingEngine] = None):
+    # One device program at a time (the worker thread owns the device);
     # up to max_queue POSTs may be in flight + waiting, the rest get 503.
-    engine_lock = threading.Lock()
+    engine = engine or BatchingEngine(state)
     slots = threading.Semaphore(max_queue)
 
     class Handler(BaseHTTPRequestHandler):
@@ -233,6 +343,8 @@ def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE):
                     "status": "ok", "nodes": state.num_nodes,
                     "dim": state.dim, "mode": state.mode,
                     "requests": state.requests,
+                    "device_calls": engine.batched_calls,
+                    "batched_requests": engine.batched_requests,
                 })
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
@@ -254,26 +366,26 @@ def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE):
                 })
                 return
             try:
-                with engine_lock:  # one device program at a time, FIFO-ish
-                    self._dispatch(req)
+                self._dispatch(req)  # the engine worker serializes device work
             finally:
                 slots.release()
 
         def _dispatch(self, req):
             try:
                 if self.path == "/v1/topk":
-                    vals, ids = state.topk(
-                        req.get("queries", []), int(req.get("k", 10))
-                    )
+                    k = int(req.get("k", 10))
+                    # Validate BEFORE batching: a bad request 400s alone.
+                    qi = state.validate_topk(req.get("queries", []), k)
+                    vals, ids = engine.call("topk", (qi, k))
                     state.requests += 1
                     self._reply(200, {"results": [
                         {"query": int(q), "partners": row_i.tolist(),
                          "scores": [round(float(v), 6) for v in row_v]}
-                        for q, row_v, row_i in zip(
-                            req.get("queries", []), vals, ids)
+                        for q, row_v, row_i in zip(qi, vals, ids)
                     ]})
                 elif self.path == "/v1/score":
-                    scores = state.score(req.get("pairs", []))
+                    pairs = state.validate_score(req.get("pairs", []))
+                    scores = engine.call("score", pairs)
                     state.requests += 1
                     self._reply(200, {
                         "scores": [round(float(v), 6) for v in scores]

@@ -355,9 +355,16 @@ def test_backpressure_503_past_queue_bound():
 
     class SlowState:
         num_nodes, dim, mode, requests = 100, 4, "mlp", 0
+        max_queries, max_pairs = 4096, 4096
 
         def __init__(self):
             self.release = threading.Event()
+
+        def validate_topk(self, queries, k):
+            return np.asarray(queries, np.int32)
+
+        def validate_score(self, pairs):
+            return np.asarray(pairs, np.int32)
 
         def topk(self, queries, k):
             self.release.wait(timeout=30)
@@ -408,3 +415,73 @@ def test_sharded_compute_dtype_plumbs_through():
     v32, _ = fp32.topk([0, 7, 119], 5)
     v16, _ = bf16.topk([0, 7, 119], 5)
     np.testing.assert_allclose(v16, v32, atol=0.03)
+
+
+def test_cross_request_batching_merges_queued_requests(served):
+    """Requests queued while a device call runs are MERGED into one call
+    with exact per-request results (cross-request dynamic batching)."""
+    import concurrent.futures
+    import threading
+    import time as _t
+
+    state, _, params, h = served
+    ref = ServingState(params, h, mode="mlp", block=64)
+
+    class GatedState(ServingState):
+        def __init__(self):
+            super().__init__(params, h, mode="mlp", block=64)
+            self.calls = []
+            self.gate = threading.Event()
+            self._first = True
+
+        def topk(self, queries, k):
+            first, self._first = self._first, False
+            self.calls.append(np.asarray(queries).size)
+            if first:
+                self.gate.wait(timeout=30)
+            return super().topk(queries, k)
+
+    gated = GatedState()
+    with BackgroundServer(gated) as srv:
+        def one(i):
+            return _post(srv, "/v1/topk", {"queries": [3 * i, 3 * i + 1], "k": 4})
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            futs = [ex.submit(one, 0)]
+            _t.sleep(0.7)  # let request 0 reach the (blocked) device call
+            futs += [ex.submit(one, i) for i in (1, 2, 3)]
+            _t.sleep(0.7)  # requests 1-3 queue behind it
+            gated.gate.set()
+            outs = [f.result() for f in futs]
+
+    # 1 solo call + ONE merged call for the three queued requests.
+    assert gated.calls == [2, 6], gated.calls
+    for i, out in enumerate(outs):
+        for row, q in zip(out["results"], (3 * i, 3 * i + 1)):
+            rv, ri = ref.topk([q], 4)
+            assert row["query"] == q
+            np.testing.assert_allclose(row["scores"], rv[0], atol=1e-5)
+
+
+def test_batched_requests_chunk_at_caps():
+    """A merged batch larger than max_queries splits into cap-respecting
+    device calls, results still exact per request."""
+    from llp_tpu.serve.server import BatchingEngine
+
+    n, hdim = 60, 8
+    key = jax.random.PRNGKey(11)
+    h = jax.random.normal(key, (n, hdim), jnp.float32)
+    params = init_link_predictor(jax.random.fold_in(key, 1), "mlp",
+                                 hdim, hdim, 1, 2)
+    state = ServingState(params, h, mode="mlp", block=16, max_queries=5)
+    engine = BatchingEngine(state)
+    items = [engine.submit("topk", (np.arange(i, i + 3, dtype=np.int32), 4))
+             for i in range(0, 12, 3)]  # 4 requests x 3 queries, cap 5
+    for it in items:
+        assert it["done"].wait(30)
+        assert it["error"] is None
+    assert engine.batched_calls >= 2  # 12 queries cannot fit one 5-cap call
+    for i, it in enumerate(items):
+        vals, ids = it["result"]
+        rv, ri = state.topk(np.arange(3 * i, 3 * i + 3, dtype=np.int32), 4)
+        np.testing.assert_allclose(np.asarray(vals), rv, atol=1e-6)
