@@ -52,6 +52,14 @@ class HaloPartition(NamedTuple):
     m: int                     # halo rows exchanged per (owner, requester)
     num_shards: int
     num_nodes: int
+    # Per-slot edge weights for WEIGHTED graphs (None otherwise): the slot
+    # order is a static permutation of the canonical edges, so the weights
+    # bake into the plan at build time (pad slots carry 0).  The aggregation
+    # then runs weighted with no model-side plumbing: callers additionally
+    # pass the WEIGHTED degree as the partition's degree vector (weighted
+    # mean = Σ w·x / Σ w).
+    loc_w: jnp.ndarray | None = None   # (P, EL) float32
+    rem_w: jnp.ndarray | None = None   # (P, ER) float32
 
 
 def build_halo_partition(graph, num_shards: int) -> HaloPartition:
@@ -73,11 +81,18 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
     e = graph.num_edges
     send = np.asarray(jax.device_get(graph.senders))[:e].astype(np.int64)
     recv = np.asarray(jax.device_get(graph.receivers))[:e].astype(np.int64)
+    weighted = graph.edge_weight is not None
+    w_all = (
+        np.asarray(jax.device_get(graph.edge_weight))[:e].astype(np.float32)
+        if weighted
+        else None
+    )
 
     # Per requester p: local/remote edge split + the sorted unique remote
     # sender rows (= the halo request list, grouped by owner since global
     # row ids sort by owner under the range partition).
     loc, rem = [], []
+    loc_ws, rem_ws = [], []  # per-slot weights, same masks/order as loc/rem
     uniq = []  # per p: (rows_unique, inverse) over remote senders
     for p in range(p_):
         mask_p = (recv // n_per) == p
@@ -88,6 +103,10 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
         rows_unique, inv = np.unique(es_r, return_inverse=True)
         uniq.append((rows_unique, inv))
         rem.append((es_r, er_r - p * n_per))
+        if weighted:
+            w_p = w_all[mask_p]
+            loc_ws.append(w_p[is_local])
+            rem_ws.append(w_p[~is_local])
 
     # Halo rows exchanged per (owner, requester) = the largest per-owner
     # group among each requester's unique remote rows.
@@ -104,10 +123,15 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
     loc_recv = np.full((p_, el), n_per, np.int32)
     rem_send = np.zeros((p_, er_max), np.int32)
     rem_recv = np.full((p_, er_max), n_per, np.int32)
+    loc_w = np.zeros((p_, el), np.float32) if weighted else None
+    rem_w = np.zeros((p_, er_max), np.float32) if weighted else None
     for p in range(p_):
         ls, lr = loc[p]
         loc_send[p, : len(ls)] = ls.astype(np.int32)
         loc_recv[p, : len(lr)] = lr.astype(np.int32)
+        if weighted:
+            loc_w[p, : len(ls)] = loc_ws[p]
+            rem_w[p, : len(rem_ws[p])] = rem_ws[p]
         rows_unique, inv = uniq[p]
         es_r, er_r = rem[p]
         if len(rows_unique):
@@ -138,6 +162,8 @@ def build_halo_partition(graph, num_shards: int) -> HaloPartition:
         m,
         p_,
         n,
+        jnp.asarray(loc_w) if weighted else None,
+        jnp.asarray(rem_w) if weighted else None,
     )
 
 
@@ -152,22 +178,32 @@ def pad_nodes(arr: np.ndarray | jnp.ndarray, part: HaloPartition):
 
 
 def plan_args(part: HaloPartition):
-    """The stacked exchange-plan arrays, in ``halo_spmm_local`` order."""
-    return (part.send_idx, part.loc_send, part.loc_recv,
+    """The stacked exchange-plan arrays, in ``halo_spmm_local`` order
+    (weighted partitions append the per-slot weight planes)."""
+    base = (part.send_idx, part.loc_send, part.loc_recv,
             part.rem_send, part.rem_recv)
+    if part.loc_w is not None:
+        return base + (part.loc_w, part.rem_w)
+    return base
 
 
 def halo_spmm_local(
     part: HaloPartition,
     axis: str,
-    x, in_deg, send_idx, ls, lr, rs, rr,
+    x, in_deg, send_idx, ls, lr, rs, rr, lw=None, rw=None,
     *,
     reduce: str = "mean",
 ):
     """Device-LOCAL halo SpMM body, for composition inside an outer
     ``shard_map`` (the halo train step runs it under the same map as the
     loss).  The plan slices arrive with a leading shard dim of 1 (P(axis)
-    sharding of the stacked plan arrays)."""
+    sharding of the stacked plan arrays).
+
+    Weighted partitions (``lw``/``rw`` present) aggregate ``Σ w·x`` — for
+    the weighted MEAN the caller passes the WEIGHTED degree as ``in_deg``
+    (the drivers do: the partition's degree vector is ``w_in_degree`` on
+    weighted graphs), for GCN's weighted sym-norm the raw weighted sum is
+    exactly what the factored endpoint scalings expect."""
     n_per, m, p_ = part.n_per, part.m, part.num_shards
     send_idx, ls, lr, rs, rr = (
         send_idx[0], ls[0], lr[0], rs[0], rr[0],
@@ -179,12 +215,16 @@ def halo_spmm_local(
     halo = halo.reshape(p_ * m, -1)
     # Local-sender aggregation overlaps with the exchange (no dependence).
     msgs_l = jnp.take(x, ls, axis=0).astype(acc)
+    if lw is not None:
+        msgs_l = msgs_l * lw[0][:, None]
     out = jax.ops.segment_sum(
         msgs_l, lr, num_segments=n_per, indices_are_sorted=True
     )
     # Remote-sender aggregation once the halo lands.
     x_ext = jnp.concatenate([x.astype(acc), halo.astype(acc)], axis=0)
     msgs_r = jnp.take(x_ext, rs, axis=0)
+    if rw is not None:
+        msgs_r = msgs_r * rw[0][:, None]
     out = out + jax.ops.segment_sum(
         msgs_r, rr, num_segments=n_per, indices_are_sorted=True
     )
@@ -206,7 +246,7 @@ def make_halo_spmm(mesh: Mesh, part: HaloPartition, axis: str = "data"):
         return shard_map(
             partial(halo_spmm_local, part, axis, reduce=reduce),
             mesh=mesh,
-            in_specs=(P(axis),) * 7,
+            in_specs=(P(axis),) * (2 + len(plan_args(part))),
             out_specs=P(axis),
             check_vma=False,
         )(x_sharded, in_degree_sharded, *plan_args(part))
@@ -245,6 +285,12 @@ def make_halo_teacher_step(
     from llp_tpu.models.predictor import apply_link_predictor
     from llp_tpu.train.optim import adam_update, clip_by_group_norm
 
+    if part.loc_w is not None:
+        raise ValueError(
+            "make_halo_teacher_step predates weighted partitions; the "
+            "whole-epoch path (llp_tpu.parallel.epoch."
+            "make_halo_teacher_epoch_fn) carries the weight planes"
+        )
     tx = optax.adam(lr)
 
     def device_loss(params, rng, x, in_deg, send_idx, ls, lr_, rs, rr,

@@ -112,16 +112,21 @@ def _dataset_edge_weight(cfg, ds):
             f"use_edge_weight requested but dataset {ds.name!r} carries no "
             f"edge weights (only the ogbl-collab download ships them)"
         )
-    if (
-        max(1, getattr(cfg, "num_devices", 1)) > 1
-        and getattr(cfg, "sharding", "dp") == "halo"
-    ):
-        raise NotImplementedError(
-            "use_edge_weight supports single-device and DP-sharded training; "
-            "the halo (feature-sharded) epoch aggregates unweighted — use "
-            "--sharding=dp"
-        )
     return ds.edge_weight
+
+
+def _halo_degree(graph):
+    """The degree vector a halo partition normalizes by: the WEIGHTED
+    in-degree on weighted graphs (weighted mean = Σ w·x / Σ w; GCN's d̂),
+    the edge count otherwise."""
+    import numpy as _np
+
+    deg = (
+        graph.w_in_degree
+        if getattr(graph, "edge_weight", None) is not None
+        else graph.in_degree
+    )
+    return _np.asarray(jax.device_get(deg))
 
 
 def prepare_transductive(cfg):
@@ -438,9 +443,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
 
         part = build_halo_partition(data["graph"], cfg.num_devices)
         x_sh = pad_nodes(data["x"], part)
-        deg_sh = pad_nodes(
-            np.asarray(jax.device_get(data["graph"].in_degree)), part
-        )
+        deg_sh = pad_nodes(_halo_degree(data["graph"]), part)
         halo_kwargs = teacher_kwargs
 
         def _adapt(fn):
@@ -489,10 +492,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
 
             inf_part = build_halo_partition(data["inf_graph"], cfg.num_devices)
             inf_x_sh = pad_nodes(data["inf_x"], inf_part)
-            inf_deg_sh = pad_nodes(
-                np.asarray(jax.device_get(data["inf_graph"].in_degree)),
-                inf_part,
-            )
+            inf_deg_sh = pad_nodes(_halo_degree(data["inf_graph"]), inf_part)
             halo_prod = make_halo_production_eval_fn(
                 mesh, part, inf_part, encoder=cfg.encoder, conv=conv,
                 predictor_mode=cfg.predictor, hits_ks=cfg.hits_ks,
@@ -553,12 +553,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
                 halo_evals[id(data["eval_graph"])] = (
                     make_halo_transductive_eval_fn(mesh, epart, **eval_kwargs),
                     pad_nodes(data["x"], epart),
-                    pad_nodes(
-                        np.asarray(
-                            jax.device_get(data["eval_graph"].in_degree)
-                        ),
-                        epart,
-                    ),
+                    pad_nodes(_halo_degree(data["eval_graph"]), epart),
                 )
 
             def eval_fn(params, graph, x, vp, vn, tp, tn):

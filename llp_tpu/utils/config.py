@@ -99,6 +99,11 @@ class CommonConfig:
                 f"epochs_per_jit={self.epochs_per_jit} must divide "
                 f"eval_steps={self.eval_steps}"
             )
+        if self.use_edge_weight and self.transductive == "production":
+            raise ValueError(
+                "use_edge_weight is a transductive capability (the production "
+                "splitter carries no edge weights)"
+            )
         # Dataset-forced metric, like the reference (main.py:304,315 override
         # args.metric). collab reports Hits@{10,50,100} in BOTH settings, so
         # its selection metric must be Hits@50 there too — the reference

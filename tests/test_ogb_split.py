@@ -283,23 +283,45 @@ def test_weighted_collab_teacher_e2e(tmp_path):
     assert "split: ogb:time" in res
 
 
+def test_weighted_halo_teacher_driver_e2e(tmp_path):
+    """Weighted + halo through the REAL driver: feature-sharded training AND
+    feature-sharded eval on the weighted official-split collab graph."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from llp_tpu.train.loop import run_teacher
+    from llp_tpu.utils.config import TeacherConfig
+
+    _make_ogb_dir(str(tmp_path), n=80, seed=2)
+    cfg = TeacherConfig(
+        datasets="collab", dataset_dir=str(tmp_path), use_edge_weight=True,
+        num_devices=8, sharding="halo", encoder="sage", hidden_channels=16,
+        batch_size=256, runs=1, epochs=2, eval_steps=1, patience=5,
+        results_dir=str(tmp_path / "results"), save_dir=str(tmp_path / "saved"),
+        spmm_impl="xla", log_steps=100,
+    )
+    stats, _ = run_teacher(cfg, verbose=False)
+    assert np.isfinite(stats["AUC"]["test"][0])
+
+
 def test_weighted_sharding_gates(tmp_path):
-    """Weighted training runs single-device and DP-sharded; the halo
-    (feature-sharded) epoch aggregates unweighted and is rejected loudly."""
+    """Weighted training runs on every execution model (single-device, DP,
+    halo); production rejects it (the production splitter has no weights)."""
     from llp_tpu.train.loop import prepare_transductive
     from llp_tpu.utils.config import TeacherConfig
 
     _make_ogb_dir(str(tmp_path))
-    cfg = TeacherConfig(
-        datasets="collab", dataset_dir=str(tmp_path), use_edge_weight=True,
-        num_devices=2, sharding="halo",
-    ).finalize()
-    with pytest.raises(NotImplementedError, match="halo"):
-        prepare_transductive(cfg)
-    cfg = TeacherConfig(
-        datasets="collab", dataset_dir=str(tmp_path), use_edge_weight=True,
-        num_devices=2, sharding="dp",
-    ).finalize()
-    data = prepare_transductive(cfg)  # DP: weights shard with the edges
-    assert data["graph"].edge_weight is not None
-    assert data["graph"].w_in_degree is not None
+    for sharding in ("dp", "halo"):
+        cfg = TeacherConfig(
+            datasets="collab", dataset_dir=str(tmp_path), use_edge_weight=True,
+            num_devices=2, sharding=sharding,
+        ).finalize()
+        data = prepare_transductive(cfg)
+        assert data["graph"].edge_weight is not None
+        assert data["graph"].w_in_degree is not None
+    with pytest.raises(ValueError, match="transductive capability"):
+        TeacherConfig(
+            datasets="collab", dataset_dir=str(tmp_path),
+            use_edge_weight=True, transductive="production",
+        ).finalize()
