@@ -17,9 +17,62 @@ import numpy as np
 from llp_tpu.data.splits import ProductionSplit
 
 
-def save_dataset_npz(path: str, x: np.ndarray, edge_index: np.ndarray) -> None:
+def save_dataset_npz(
+    path: str,
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    *,
+    edge_weight: np.ndarray | None = None,
+    split: dict | None = None,
+    split_name: str = "",
+    extra: dict | None = None,
+) -> None:
+    """Write the dataset interchange file.
+
+    Beyond the core ``x``/``edge_index`` arrays, the format optionally
+    carries per-edge weights and an OFFICIAL split (``{part: {'edge': ...,
+    'edge_neg': ..., ...}}`` — e.g. OGB's shipped time split), so an npz
+    export of ogbl-collab preserves the reference's evaluation protocol
+    instead of silently falling back to a random re-split.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(path, x=x.astype(np.float32), edge_index=edge_index.astype(np.int64))
+    arrays = {
+        "x": x.astype(np.float32),
+        "edge_index": edge_index.astype(np.int64),
+    }
+    if edge_weight is not None:
+        arrays["edge_weight"] = np.asarray(edge_weight, np.float32)
+    if split is not None:
+        arrays["split_name"] = np.asarray(split_name or "official")
+        for part, d in split.items():
+            for k, v in d.items():
+                arrays[f"split__{part}__{k}"] = np.asarray(v)
+    if extra:
+        arrays.update({k: np.asarray(v) for k, v in extra.items()})
+    np.savez_compressed(path, **arrays)
+
+
+def unpack_dataset_npz(z) -> dict:
+    """Parse an open dataset-npz mapping into ``{x, edge_index, edge_weight,
+    split, split_name}`` (the optional keys default to None/"")."""
+    out = {
+        "x": z["x"].astype(np.float32),
+        "edge_index": z["edge_index"].astype(np.int64),
+        "edge_weight": None,
+        "split": None,
+        "split_name": "",
+    }
+    if "edge_weight" in z:
+        out["edge_weight"] = z["edge_weight"].astype(np.float32)
+    split: dict = {}
+    for key in z.files if hasattr(z, "files") else z.keys():
+        if key.startswith("split__"):
+            _, part, k = key.split("__", 2)
+            split.setdefault(part, {})[k] = z[key]
+    if split:
+        out["split"] = split
+        out["split_name"] = str(z["split_name"]) if "split_name" in z else "official"
+    return out
 
 
 def dataset_fingerprint(x, edge_index) -> int:

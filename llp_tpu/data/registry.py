@@ -85,8 +85,14 @@ def get_dataset(root: str, name: str) -> Dataset:
 
     npz_path = os.path.join(root, f"{name}.npz")
     if os.path.exists(npz_path):
+        from llp_tpu.data.io import unpack_dataset_npz
+
         with np.load(npz_path) as z:
-            return Dataset(name, z["x"].astype(np.float32), z["edge_index"].astype(np.int64))
+            d = unpack_dataset_npz(z)
+        return Dataset(
+            name, d["x"], d["edge_index"], edge_weight=d["edge_weight"],
+            split=d["split"], split_name=d["split_name"],
+        )
 
     planetoid = _try_planetoid(root, name)
     if planetoid is not None:
@@ -225,7 +231,13 @@ def _parse_gnn_benchmark(path: str, name: str) -> Dataset:
 def _try_ogb_collab(root: str, name: str):
     """Load an untouched OGB ``ogbl_collab`` download (the reference gets
     collab via ``PygLinkPropPredDataset('ogbl-collab')``, reference
-    ``src/main.py:307`` / ``src/train_teacher_gnn.py:322``)."""
+    ``src/main.py:307`` / ``src/train_teacher_gnn.py:322``).
+
+    Parsing the gzipped CSVs (235k x 128 features, 1.2M edge rows) costs
+    tens of seconds, so the parse is cached to ``<root>/{name}_parsed.npz``
+    keyed by a fingerprint of the raw files (name/size/mtime) — a fresh
+    download invalidates it automatically.
+    """
     if name not in ("collab", "ogbl-collab"):
         return None
     for base in (
@@ -236,8 +248,64 @@ def _try_ogb_collab(root: str, name: str):
         if os.path.exists(os.path.join(base, "edge.csv.gz")) and os.path.exists(
             os.path.join(base, "node-feat.csv.gz")
         ):
-            return _parse_ogb_collab(base, name)
+            fp = _raw_fingerprint(base)
+            cache = os.path.join(root, f"{name}_parsed.npz")
+            ds = _load_parsed_cache(cache, name, fp)
+            if ds is not None:
+                return ds
+            ds = _parse_ogb_collab(base, name)
+            _save_parsed_cache(cache, ds, fp)
+            return ds
     return None
+
+
+def _raw_fingerprint(raw_base: str) -> int:
+    """Fingerprint of the download's raw + split files (name, size, mtime)."""
+    import zlib
+
+    h = 0
+    roots = [raw_base, os.path.join(os.path.dirname(os.path.abspath(raw_base)), "split")]
+    for r in roots:
+        for dirpath, _, files in sorted(os.walk(r)):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                h = zlib.crc32(
+                    f"{os.path.relpath(p, r)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+                    h,
+                )
+    return int(h)
+
+
+def _load_parsed_cache(cache: str, name: str, fp: int):
+    if not os.path.exists(cache):
+        return None
+    from llp_tpu.data.io import unpack_dataset_npz
+
+    try:
+        with np.load(cache) as z:
+            if "raw_fingerprint" not in z or int(z["raw_fingerprint"]) != fp:
+                return None  # stale: the download changed
+            d = unpack_dataset_npz(z)
+    except Exception:
+        return None  # unreadable cache: fall through to a fresh parse
+    return Dataset(
+        name, d["x"], d["edge_index"], edge_weight=d["edge_weight"],
+        split=d["split"], split_name=d["split_name"],
+    )
+
+
+def _save_parsed_cache(cache: str, ds: "Dataset", fp: int) -> None:
+    from llp_tpu.data.io import save_dataset_npz
+
+    try:
+        save_dataset_npz(
+            cache, ds.x, ds.edge_index, edge_weight=ds.edge_weight,
+            split=ds.split, split_name=ds.split_name,
+            extra={"raw_fingerprint": np.asarray(fp, np.int64)},
+        )
+    except OSError:
+        pass  # read-only dataset dir: caching is best-effort
 
 
 def _parse_ogb_collab(base: str, name: str) -> Dataset:

@@ -325,3 +325,69 @@ def test_weighted_sharding_gates(tmp_path):
             datasets="collab", dataset_dir=str(tmp_path),
             use_edge_weight=True, transductive="production",
         ).finalize()
+
+
+def test_parse_cache_roundtrip_and_invalidation(tmp_path):
+    """The raw-CSV parse caches to {name}_parsed.npz (keyed by the raw
+    files' fingerprint) and invalidates when the download changes."""
+    import time as _t
+
+    _make_ogb_dir(str(tmp_path))
+    ds1 = get_dataset(str(tmp_path), "collab")
+    cache = tmp_path / "collab_parsed.npz"
+    assert cache.exists()
+    ds2 = get_dataset(str(tmp_path), "collab")  # served from the cache
+    np.testing.assert_array_equal(ds1.edge_index, ds2.edge_index)
+    np.testing.assert_allclose(ds1.edge_weight, ds2.edge_weight)
+    assert ds2.split_name == "ogb:time"
+    np.testing.assert_array_equal(
+        ds1.split["valid"]["edge_neg"], ds2.split["valid"]["edge_neg"]
+    )
+    # Corrupt the cache to prove the second load actually used it... by
+    # replacing it with a DIFFERENT but valid parse: load must return the
+    # cache's content, not re-parse.
+    from llp_tpu.data.io import save_dataset_npz
+    import numpy as _np
+
+    with _np.load(cache) as z:
+        fp = int(z["raw_fingerprint"])
+    save_dataset_npz(
+        str(cache), ds1.x, ds1.edge_index[:, :4],
+        extra={"raw_fingerprint": _np.asarray(fp, _np.int64)},
+    )
+    ds3 = get_dataset(str(tmp_path), "collab")
+    assert ds3.edge_index.shape[1] == 4  # cache was used
+    # A changed raw file (newer mtime) invalidates the cache -> full parse.
+    edge_gz = tmp_path / "ogbl_collab" / "raw" / "edge.csv.gz"
+    _t.sleep(0.02)
+    os.utime(edge_gz)
+    ds4 = get_dataset(str(tmp_path), "collab")
+    np.testing.assert_array_equal(ds4.edge_index, ds1.edge_index)
+
+
+def test_npz_interchange_carries_weights_and_split(tmp_path):
+    """A {name}.npz export preserves edge weights AND the official split, so
+    converting the download to npz keeps the reference protocol."""
+    from llp_tpu.data.io import save_dataset_npz
+
+    src = tmp_path / "src"
+    _make_ogb_dir(str(src))
+    ds = get_dataset(str(src), "collab")
+
+    out_dir = tmp_path / "exported"
+    out_dir.mkdir()
+    save_dataset_npz(
+        str(out_dir / "collab.npz"), ds.x, ds.edge_index,
+        edge_weight=ds.edge_weight, split=ds.split, split_name=ds.split_name,
+    )
+    ds2 = get_dataset(str(out_dir), "collab")
+    assert not ds2.synthetic
+    assert ds2.split_name == "ogb:time"
+    np.testing.assert_allclose(ds2.edge_weight, ds.edge_weight)
+    for part in ("train", "valid", "test"):
+        np.testing.assert_array_equal(
+            ds2.split[part]["edge"], ds.split[part]["edge"]
+        )
+    np.testing.assert_array_equal(
+        ds2.split["test"]["edge_neg"], ds.split["test"]["edge_neg"]
+    )
