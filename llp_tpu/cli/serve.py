@@ -43,6 +43,12 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="retrieval scoring dtype (fp32 merges; ~2x for the "
                         "'mlp' decoder)")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="store the embedding table per-row int8 (4x less "
+                        "HBM — collab-scale tables drop into the cache-warm "
+                        "gather regime; 'inner' retrieval scores on the MXU "
+                        "int8 path)")
     p.add_argument("--reencode", action="store_true",
                    help="GNN checkpoints: re-encode over the dataset's full "
                         "edge set (inductive serving) instead of serving the "
@@ -114,6 +120,12 @@ def main(argv=None):
     float(h[0, 0])  # force materialization for honest timing
     t_encode = time.perf_counter() - t0
 
+    table = h
+    if args.quantize == "int8":
+        from llp_tpu.serve.quant import quantize_table
+
+        table = quantize_table(h)
+
     out = {"checkpoint": args.checkpoint, "nodes": int(h.shape[0]),
            "dim": int(h.shape[1]), "encode_s": round(t_encode, 4)}
 
@@ -134,6 +146,7 @@ def main(argv=None):
                 mode=mode, block=args.block, approx=args.approx,
                 compute_dtype=(jnp.bfloat16
                                if args.compute_dtype == "bfloat16" else None),
+                quantize=args.quantize,
             )
             out["shards"] = len(devs)
         else:
@@ -142,6 +155,7 @@ def main(argv=None):
                 approx=args.approx,
                 compute_dtype=(jnp.bfloat16
                                if args.compute_dtype == "bfloat16" else None),
+                quantize=args.quantize,
             )
         if args.warmup:
             state.warmup(args.warmup)
@@ -159,7 +173,7 @@ def main(argv=None):
             )
         t0 = time.perf_counter()
         vals, ids = top_k_partners(
-            params["predictor"], h, qi, k=args.topk, mode=mode,
+            params["predictor"], table, qi, k=args.topk, mode=mode,
             block=args.block, approx=args.approx,
             compute_dtype=(jnp.bfloat16
                            if args.compute_dtype == "bfloat16" else None),
@@ -186,7 +200,9 @@ def main(argv=None):
                 f"(got min {both.min()}, max {both.max()})"
             )
         t0 = time.perf_counter()
-        scores = np.asarray(score_pairs(params["predictor"], h, src, dst, mode=mode))
+        scores = np.asarray(
+            score_pairs(params["predictor"], table, src, dst, mode=mode)
+        )
         out["score_s"] = round(time.perf_counter() - t0, 4)
         print(json.dumps({
             "pairs": [f"{a}:{b}" for a, b in zip(src.tolist(), dst.tolist())],

@@ -396,25 +396,42 @@ def make_sharded_topk_partners(
     """
 
     def device_fn(params, h_shard, q_h, query_ids):
+        from llp_tpu.serve.quant import QuantTable, dequantize_slice
+
+        quant = isinstance(h_shard, QuantTable)
         if compute_dtype is not None:
             # Scoring in the reduced dtype (the 'mlp' decoder is FLOP-bound:
             # bf16 is its ~2x lever — llp_tpu.serve.engine semantics); the
             # per-block/cross-shard merges stay fp32 (block_scores upcasts).
+            # Int8 shards stay int8 at rest; compute_dtype then sets the
+            # dequantized block dtype instead.
             from llp_tpu.utils.precision import cast_params
 
             params = cast_params(params, compute_dtype)
             q_h = q_h.astype(compute_dtype)
-            h_shard = h_shard.astype(compute_dtype)
+            if not quant:
+                h_shard = h_shard.astype(compute_dtype)
         nl = h_shard.shape[0]
         blk = min(block, nl)
         nb = -(-nl // blk)
         pad = nb * blk - nl
-        hp = jnp.pad(h_shard, ((0, pad), (0, 0)))
+        if quant:
+            hp = QuantTable(
+                q=jnp.pad(h_shard.q, ((0, pad), (0, 0))),
+                scale=jnp.pad(h_shard.scale, (0, pad)),
+            )
+        else:
+            hp = jnp.pad(h_shard, ((0, pad), (0, 0)))
         base = jax.lax.axis_index(axis).astype(jnp.int32) * nl
         q = q_h.shape[0]
 
         def block_scores(b0):
-            cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
+            if quant:
+                cand = dequantize_slice(
+                    hp, b0, blk, dtype=compute_dtype or jnp.float32
+                )
+            else:
+                cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
             gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
             scores = _score_block(params, q_h, cand, mode)
             invalid = (gid[None, :] >= num_nodes) | (
@@ -478,10 +495,17 @@ def make_sharded_topk_partners(
 
     @jax.jit
     def fn(params, h_sharded, query_h, query_ids):
+        from llp_tpu.serve.quant import QuantTable
+
+        h_spec = (
+            QuantTable(q=P(axis), scale=P(axis))
+            if isinstance(h_sharded, QuantTable)
+            else P(axis)
+        )
         return shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(), P()),
+            in_specs=(P(), h_spec, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )(params, h_sharded, query_h, query_ids)

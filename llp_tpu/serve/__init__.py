@@ -4,6 +4,10 @@ from llp_tpu.serve.engine import (  # noqa: F401
     score_pairs,
     top_k_partners,
 )
+from llp_tpu.serve.quant import (  # noqa: F401
+    QuantTable,
+    quantize_table,
+)
 from llp_tpu.serve.server import (  # noqa: F401
     BackgroundServer,
     ServingState,

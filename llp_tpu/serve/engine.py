@@ -31,6 +31,12 @@ import numpy as np
 
 from llp_tpu.models.mlp import apply_mlp
 from llp_tpu.models.predictor import apply_link_predictor
+from llp_tpu.serve.quant import (
+    QuantTable,
+    dequantize_rows,
+    dequantize_slice,
+    int8_dot_scores,
+)
 from llp_tpu.utils.checkpoint import load_checkpoint
 
 
@@ -54,6 +60,24 @@ def _pad_rows(a: jnp.ndarray, block: int) -> Tuple[jnp.ndarray, int]:
     if pad:
         a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
     return a, nb
+
+
+def _pad_table(h, block: int):
+    """`_pad_rows` over a plain table or a :class:`QuantTable` (both codes
+    and scales pad with zeros: dequantized pad rows are exactly 0)."""
+    if isinstance(h, QuantTable):
+        qp, nb = _pad_rows(h.q, block)
+        sp, _ = _pad_rows(h.scale, block)
+        return QuantTable(q=qp, scale=sp), nb
+    return _pad_rows(h, block)
+
+
+def _take_rows(h, idx, dtype=None):
+    """Row gather from a plain or int8-quantized table (dequantized)."""
+    if isinstance(h, QuantTable):
+        return dequantize_rows(h, idx, dtype=dtype or jnp.float32)
+    rows = jnp.take(h, idx, axis=0)
+    return rows.astype(dtype) if dtype is not None else rows
 
 
 @functools.partial(jax.jit, static_argnames=("norm_type", "block"))
@@ -130,8 +154,8 @@ def _score_blocked(params, h, src, dst, *, mode: str, block: int,
 
     def body(_, sd):
         s, d = sd
-        hi = jnp.take(h, s, axis=0)
-        hj = jnp.take(h, d, axis=0)
+        hi = _take_rows(h, s)
+        hj = _take_rows(h, d)
         # fused=False default: at serving scale (big cold table, uniform
         # random pairs) the plain XLA expression sits ON the random-gather
         # floor while the Pallas SDDMM kernel's per-row DMA gathers run 30%
@@ -160,7 +184,9 @@ def score_pairs(
     Runs at the uniform-random gather floor (~63M rows/s on a 240MB cold
     table — 4x below the sorted-edge-order gather rate training enjoys;
     scripts/bench_scorepairs.py). ``fused=True`` opts into the Pallas SDDMM
-    kernel — only profitable on small cache-warm tables."""
+    kernel — only profitable on small cache-warm tables.  ``h`` may be an
+    int8 :class:`~llp_tpu.serve.quant.QuantTable` (4x smaller gathers —
+    collab-scale tables drop into the cache-warm regime)."""
     src = jnp.asarray(src, jnp.int32)
     dst = jnp.asarray(dst, jnp.int32)
     return _score_blocked(predictor_params, h, src, dst, mode=mode,
@@ -174,17 +200,26 @@ def score_pairs(
 def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
                   exclude_self: bool, cdtype=None, approx: bool = False):
     n = h.shape[0]
+    quant = isinstance(h, QuantTable)
     if cdtype is not None:
         # Retrieval tolerates reduced precision: bf16 table/query halve the
         # candidate DMA and double the MXU rate; scores merge in fp32.
-        h = h.astype(cdtype)
+        # (Quantized tables already store int8; cdtype then sets the
+        # DEQUANTIZED scoring dtype instead.)
+        if not quant:
+            h = h.astype(cdtype)
         params = jax.tree_util.tree_map(lambda a: a.astype(cdtype), params)
-    q_h = jnp.take(h, query_ids, axis=0)  # (Q, H)
+    q_h = _take_rows(h, query_ids, dtype=cdtype)  # (Q, H)
     q = q_h.shape[0]
-    hp, nb = _pad_rows(h, block)
+    hp, nb = _pad_table(h, block)
 
     def block_scores(b0):
-        cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)  # (B, H)
+        if quant:
+            cand = dequantize_slice(
+                hp, b0, block, dtype=cdtype or jnp.float32
+            )  # (B, H)
+        else:
+            cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)
         cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
         scores = apply_link_predictor(
             params, q_h[:, None, :], cand[None, :, :], mode=mode, train=False
@@ -256,12 +291,19 @@ def _topk_inner_single_pass(params, h, query_ids, *, k: int,
     worse still — ApproxTopK over the whole row is the fast shape.
     """
     n = h.shape[0]
-    if cdtype is not None:
-        h = h.astype(cdtype)
-    q_h = jnp.take(h, query_ids, axis=0)                     # (Q, H)
-    hp, _ = _pad_rows(h, 512)
-    dots = (q_h @ hp.T).astype(jnp.float32)                  # (Q, Npad)
-    ids_all = jnp.arange(hp.shape[0], dtype=jnp.int32)
+    if isinstance(h, QuantTable):
+        # Whole-table scoring on the MXU int8 path: the (Q,H)x(H,N) dot
+        # accumulates int32-exact on the int8 codes; the rank-1 scale grid
+        # restores magnitudes (cdtype is moot — int8 beats bf16 on both
+        # bytes and MXU rate).
+        dots = int8_dot_scores(h, query_ids, pad_to=512)     # (Q, Npad) f32
+    else:
+        if cdtype is not None:
+            h = h.astype(cdtype)
+        q_h = jnp.take(h, query_ids, axis=0)                 # (Q, H)
+        hp, _ = _pad_rows(h, 512)
+        dots = (q_h @ hp.T).astype(jnp.float32)              # (Q, Npad)
+    ids_all = jnp.arange(dots.shape[1], dtype=jnp.int32)
     invalid = ids_all[None, :] >= n
     if exclude_self:
         invalid = invalid | (ids_all[None, :] == query_ids[:, None])
@@ -296,7 +338,12 @@ def top_k_partners(
     replaces the exact running merges.  ``approx=False`` (default) keeps the
     exact blocked (k + block) merge.  ``compute_dtype=jnp.bfloat16`` runs the
     scoring passes half-width with fp32 merges — ~2x on the FLOP-bound 'mlp'
-    decoder, composes with ``approx``."""
+    decoder, composes with ``approx``.
+
+    ``h`` may be an int8 :class:`~llp_tpu.serve.quant.QuantTable`: candidate
+    blocks dequantize on the fly (4x less table DMA), and the
+    'inner'+``approx`` single-pass scores directly on the MXU int8 path
+    with int32 accumulation (``quant.int8_dot_scores``)."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
     block = min(block, max(8, n))

@@ -70,9 +70,21 @@ class ServingState:
     def __init__(self, predictor_params, h, *, mode: str = "mlp",
                  block: int = 4096, approx: bool = False, compute_dtype=None,
                  fused: bool = False, max_queries: int = 4096,
-                 max_pairs: int = 1 << 20):
+                 max_pairs: int = 1 << 20, quantize: str = "none"):
         self.params = predictor_params
+        if quantize == "int8":
+            # Per-row int8 table: 4x less HBM + cache-warm gathers at collab
+            # scale; retrieval/scoring dequantize on the fly (see
+            # llp_tpu.serve.quant).
+            import jax.numpy as jnp
+
+            from llp_tpu.serve.quant import quantize_table
+
+            h = quantize_table(jnp.asarray(h))
+        elif quantize != "none":
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.h = h
+        self.quantize = quantize
         self.mode = mode
         self.block = block
         self.approx = approx
@@ -175,7 +187,7 @@ class ShardedServingState(ServingState):
 
     def __init__(self, predictor_params, h, mesh, *, mode: str = "mlp",
                  block: int = 4096, approx: bool = False, axis: str = "data",
-                 compute_dtype=None):
+                 compute_dtype=None, quantize: str = "none"):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -183,17 +195,43 @@ class ShardedServingState(ServingState):
         n = int(h.shape[0])
         ndev = mesh.shape[axis]
         pad = (-n) % ndev
-        if pad:
-            h = jnp.concatenate([h, jnp.zeros((pad, h.shape[1]), h.dtype)])
-        h = jax.device_put(h, NamedSharding(mesh, P(axis, None)))
+        if quantize == "int8":
+            # Quantize the REAL rows first (per-row scales), then pad with
+            # zero codes/scales (dequantized pad rows are exactly 0) and
+            # shard both planes by owner.
+            from llp_tpu.serve.quant import QuantTable, quantize_table
+
+            qt = quantize_table(jnp.asarray(h))
+            if pad:
+                qt = QuantTable(
+                    q=jnp.concatenate(
+                        [qt.q, jnp.zeros((pad, qt.q.shape[1]), jnp.int8)]
+                    ),
+                    scale=jnp.concatenate(
+                        [qt.scale, jnp.zeros((pad,), jnp.float32)]
+                    ),
+                )
+            h = QuantTable(
+                q=jax.device_put(qt.q, NamedSharding(mesh, P(axis, None))),
+                scale=jax.device_put(qt.scale, NamedSharding(mesh, P(axis))),
+            )
+        elif quantize == "none":
+            if pad:
+                h = jnp.concatenate([h, jnp.zeros((pad, h.shape[1]), h.dtype)])
+            h = jax.device_put(h, NamedSharding(mesh, P(axis, None)))
+        else:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         super().__init__(predictor_params, h, mode=mode, block=block,
                          approx=approx, compute_dtype=compute_dtype)
+        self.quantize = quantize
         self.num_nodes = n  # id validation against REAL rows, not padding
         self.mesh = mesh
         self.axis = axis
         self._topk_fns = {}
+        from llp_tpu.serve.engine import _take_rows
+
         self._gather_q = jax.jit(
-            lambda table, qi: jnp.take(table, qi, axis=0),
+            lambda table, qi: _take_rows(table, qi),
             out_shardings=NamedSharding(mesh, P()),
         )
 
@@ -342,6 +380,7 @@ def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE,
                 self._reply(200, {
                     "status": "ok", "nodes": state.num_nodes,
                     "dim": state.dim, "mode": state.mode,
+                    "table_dtype": str(np.dtype(state.h.dtype)),
                     "requests": state.requests,
                     "device_calls": engine.batched_calls,
                     "batched_requests": engine.batched_requests,
