@@ -45,10 +45,10 @@ def main(argv=None):
                         "'mlp' decoder)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
-                   help="store the embedding table per-row int8 (4x less "
-                        "HBM — collab-scale tables drop into the cache-warm "
-                        "gather regime; 'inner' retrieval scores on the MXU "
-                        "int8 path)")
+                   help="store the embedding table per-row int8: 4x "
+                        "less HBM at unchanged recall; pair scoring 1.17x "
+                        "(at the gather floor), retrieval speed-neutral "
+                        "(scripts/bench_quant.py)")
     p.add_argument("--reencode", action="store_true",
                    help="GNN checkpoints: re-encode over the dataset's full "
                         "edge set (inductive serving) instead of serving the "

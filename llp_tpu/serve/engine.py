@@ -185,8 +185,8 @@ def score_pairs(
     table — 4x below the sorted-edge-order gather rate training enjoys;
     scripts/bench_scorepairs.py). ``fused=True`` opts into the Pallas SDDMM
     kernel — only profitable on small cache-warm tables.  ``h`` may be an
-    int8 :class:`~llp_tpu.serve.quant.QuantTable` (4x smaller gathers —
-    collab-scale tables drop into the cache-warm regime)."""
+    int8 :class:`~llp_tpu.serve.quant.QuantTable` — measured 1.17x here
+    (33.7 ms/1M pairs, AT the bare-gather floor) with 4x less table HBM."""
     src = jnp.asarray(src, jnp.int32)
     dst = jnp.asarray(dst, jnp.int32)
     return _score_blocked(predictor_params, h, src, dst, mode=mode,
@@ -341,9 +341,11 @@ def top_k_partners(
     decoder, composes with ``approx``.
 
     ``h`` may be an int8 :class:`~llp_tpu.serve.quant.QuantTable`: candidate
-    blocks dequantize on the fly (4x less table DMA), and the
-    'inner'+``approx`` single-pass scores directly on the MXU int8 path
-    with int32 accumulation (``quant.int8_dot_scores``)."""
+    blocks dequantize on the fly, and the 'inner'+``approx`` single-pass
+    scores directly on the MXU int8 path with int32 accumulation
+    (``quant.int8_dot_scores``).  Measured speed-NEUTRAL at 4x less table
+    HBM and unchanged recall (scripts/bench_quant.py) — retrieval is
+    ApproxTopK/FLOP-bound, not table-DMA-bound."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
     block = min(block, max(8, n))
