@@ -66,6 +66,14 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=0,
                    help="daemon mode: pre-compile the smallest request "
                         "bucket for this k before accepting traffic")
+    p.add_argument("--max_queue", type=int, default=8,
+                   help="daemon mode: in-flight + waiting requests past "
+                        "this bound get an orderly 503")
+    p.add_argument("--max_queries", type=int, default=4096,
+                   help="per-request topk query cap (bounds the device "
+                        "footprint of one request)")
+    p.add_argument("--max_pairs", type=int, default=1 << 20,
+                   help="per-request score pair cap")
     args = p.parse_args(argv)
 
     from llp_tpu.cli.common import setup_device
@@ -147,6 +155,7 @@ def main(argv=None):
                 compute_dtype=(jnp.bfloat16
                                if args.compute_dtype == "bfloat16" else None),
                 quantize=args.quantize,
+                max_queries=args.max_queries, max_pairs=args.max_pairs,
             )
             out["shards"] = len(devs)
         else:
@@ -156,11 +165,13 @@ def main(argv=None):
                 compute_dtype=(jnp.bfloat16
                                if args.compute_dtype == "bfloat16" else None),
                 quantize=args.quantize,
+                max_queries=args.max_queries, max_pairs=args.max_pairs,
             )
         if args.warmup:
             state.warmup(args.warmup)
         print(json.dumps(out), flush=True)
-        serve_forever(state, args.host, args.port)
+        serve_forever(state, args.host, args.port,
+                      max_queue=args.max_queue)
         return out
 
     if args.topk and args.queries:

@@ -73,9 +73,9 @@ class ServingState:
                  max_pairs: int = 1 << 20, quantize: str = "none"):
         self.params = predictor_params
         if quantize == "int8":
-            # Per-row int8 table: 4x less HBM + cache-warm gathers at collab
-            # scale; retrieval/scoring dequantize on the fly (see
-            # llp_tpu.serve.quant).
+            # Per-row int8 table: 4x less HBM at unchanged recall (measured —
+            # see llp_tpu.serve.quant); retrieval/scoring dequantize on the
+            # fly.
             import jax.numpy as jnp
 
             from llp_tpu.serve.quant import quantize_table
@@ -187,7 +187,8 @@ class ShardedServingState(ServingState):
 
     def __init__(self, predictor_params, h, mesh, *, mode: str = "mlp",
                  block: int = 4096, approx: bool = False, axis: str = "data",
-                 compute_dtype=None, quantize: str = "none"):
+                 compute_dtype=None, quantize: str = "none",
+                 max_queries: int = 4096, max_pairs: int = 1 << 20):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -222,7 +223,8 @@ class ShardedServingState(ServingState):
         else:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         super().__init__(predictor_params, h, mode=mode, block=block,
-                         approx=approx, compute_dtype=compute_dtype)
+                         approx=approx, compute_dtype=compute_dtype,
+                         max_queries=max_queries, max_pairs=max_pairs)
         self.quantize = quantize
         self.num_nodes = n  # id validation against REAL rows, not padding
         self.mesh = mesh
@@ -453,9 +455,10 @@ def make_server(state: ServingState, host: str = "127.0.0.1",
 
 def serve_forever(state: ServingState, host: str = "127.0.0.1",
                   port: int = 8080, *,
+                  max_queue: int = MAX_QUEUE,
                   ready_line: bool = True) -> None:
     """Run the daemon until interrupted (the CLI ``--port`` entry)."""
-    srv = make_server(state, host, port)
+    srv = make_server(state, host, port, max_queue=max_queue)
     if ready_line:
         print(json.dumps({
             "serving": f"http://{host}:{srv.server_port}",

@@ -320,6 +320,30 @@ def test_request_size_caps():
                          {"queries": [0, 1], "k": 2})["results"]) == 2
 
 
+def test_sharded_request_size_caps():
+    """The sharded state forwards custom per-request caps to the base
+    validation (the compute_dtype-style plumb-through, round-1 ADVICE)."""
+    from jax.sharding import Mesh
+
+    from llp_tpu.serve.server import ShardedServingState
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    n, hdim = 40, 8
+    key = jax.random.PRNGKey(11)
+    h = jax.random.normal(key, (n, hdim), jnp.float32)
+    params = init_link_predictor(jax.random.fold_in(key, 1), "mlp",
+                                 hdim, hdim, 1, 2)
+    state = ShardedServingState(params, h, Mesh(np.array(devs), ("data",)),
+                                mode="mlp", block=16,
+                                max_queries=4, max_pairs=3)
+    with pytest.raises(ValueError, match="too many queries"):
+        state.topk([0, 1, 2, 3, 4], 2)
+    with pytest.raises(ValueError, match="too many pairs"):
+        state.score([[0, 1]] * 4)
+
+
 def test_nested_queries_rejected(served):
     """A nested queries payload (e.g. [[1,2],[3,4]]) must 400, not silently
     flatten into unlabelable rows."""
