@@ -372,7 +372,7 @@ def make_sharded_topk_partners(
     k: int,
     mode: str,
     num_nodes: int,
-    block: int = 4096,
+    block: int | None = None,
     axis: str = "data",
     exclude_self: bool = True,
     approx: bool = False,
@@ -412,7 +412,19 @@ def make_sharded_topk_partners(
             if not quant:
                 h_shard = h_shard.astype(compute_dtype)
         nl = h_shard.shape[0]
-        blk = min(block, nl)
+        if block is None:
+            # Auto tile height (llp_tpu.serve.engine semantics): 'inner'+
+            # approx scores blocks as matmuls and approx_max_k is wide-
+            # friendly — taller blocks mean fewer merges; bound the
+            # (Q, blk) fp32 score tile at 256MB.  Exact lax.top_k degrades
+            # with width — short tiles there.
+            if mode == "inner" and approx:
+                blk = max(4096, (256 << 20) // (4 * max(1, q_h.shape[0])))
+            else:
+                blk = 4096
+        else:
+            blk = block
+        blk = min(blk, nl)
         nb = -(-nl // blk)
         pad = nb * blk - nl
         if quant:
@@ -425,6 +437,14 @@ def make_sharded_topk_partners(
         base = jax.lax.axis_index(axis).astype(jnp.int32) * nl
         q = q_h.shape[0]
 
+        # 'inner' blocks score as a (Q,H)x(H,B) matmul on raw dots (sigmoid
+        # is monotone — applied after the cross-shard merge).  The generic
+        # predictor expression broadcasts a (Q,B,H) Hadamard intermediate
+        # XLA does not rewrite into a matmul — measured 26x slower at scale
+        # (scripts/serve_scale10m_blocks.py; llp_tpu.serve.engine does the
+        # same rewrite single-device).
+        inner_dot = mode == "inner"
+
         def block_scores(b0):
             if quant:
                 cand = dequantize_slice(
@@ -433,7 +453,10 @@ def make_sharded_topk_partners(
             else:
                 cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
             gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
-            scores = _score_block(params, q_h, cand, mode)
+            if inner_dot:
+                scores = q_h.astype(cand.dtype) @ cand.T  # raw dots
+            else:
+                scores = _score_block(params, q_h, cand, mode)
             invalid = (gid[None, :] >= num_nodes) | (
                 b0 + jnp.arange(blk) >= nl
             )
@@ -484,7 +507,12 @@ def make_sharded_topk_partners(
         allv = jnp.transpose(allv, (1, 0, 2)).reshape(q, p * k)
         alli = jnp.transpose(alli, (1, 0, 2)).reshape(q, p * k)
         gvals, gpos = jax.lax.top_k(allv, k)
-        return gvals, jnp.take_along_axis(alli, gpos, axis=1)
+        gids = jnp.take_along_axis(alli, gpos, axis=1)
+        if inner_dot:  # raw dots -> probabilities; keep -inf empty slots
+            gvals = jnp.where(
+                jnp.isfinite(gvals), jax.nn.sigmoid(gvals), -jnp.inf
+            )
+        return gvals, gids
 
     def _score_block(params, q_h, cand, mode):
         from llp_tpu.models.predictor import apply_link_predictor

@@ -23,7 +23,7 @@ the deployment counterpart, TPU-shaped:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -212,22 +212,51 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
     q_h = _take_rows(h, query_ids, dtype=cdtype)  # (Q, H)
     q = q_h.shape[0]
     hp, nb = _pad_table(h, block)
+    # 'inner' blocks score as ONE (Q,H)x(H,B) matmul on raw dots (sigmoid is
+    # monotone — applied to the k winners at the end).  The generic
+    # predictor expression broadcasts a (Q,B,H) Hadamard intermediate that
+    # XLA does NOT rewrite into a matmul — measured 26x slower on a 10M-row
+    # int8 table (672 -> 25.5 ms, scripts/serve_scale10m_blocks.py).  For
+    # quantized tables the dot runs directly on the int8 codes (MXU int8
+    # path, int32-exact) with a rank-1 scale grid — no dequantized block
+    # ever materializes.
+    inner_dot = mode == "inner"
+    if inner_dot and quant:
+        q_codes = jnp.take(h.q, query_ids, axis=0)        # (Q, H) int8
+        q_scale = jnp.take(h.scale, query_ids, axis=0)    # (Q,)
 
     def block_scores(b0):
-        if quant:
-            cand = dequantize_slice(
-                hp, b0, block, dtype=cdtype or jnp.float32
-            )  # (B, H)
-        else:
-            cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)
         cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
-        scores = apply_link_predictor(
-            params, q_h[:, None, :], cand[None, :, :], mode=mode, train=False
-        )  # (Q, B)
+        if inner_dot and quant:
+            cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, block, axis=0)
+            cs = jax.lax.dynamic_slice_in_dim(hp.scale, b0, block, axis=0)
+            scores = jax.lax.dot_general(
+                q_codes, cq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (q_scale[:, None] * cs[None, :])
+        elif inner_dot:
+            cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)
+            scores = (q_h @ cand.T).astype(jnp.float32)   # raw dots
+        else:
+            if quant:
+                cand = dequantize_slice(
+                    hp, b0, block, dtype=cdtype or jnp.float32
+                )  # (B, H)
+            else:
+                cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)
+            scores = apply_link_predictor(
+                params, q_h[:, None, :], cand[None, :, :], mode=mode,
+                train=False,
+            )  # (Q, B)
         invalid = cand_ids[None, :] >= n
         if exclude_self:
             invalid = invalid | (cand_ids[None, :] == query_ids[:, None])
         return jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32)), cand_ids
+
+    def finish(vals, ids):
+        if inner_dot:  # raw dots -> probabilities; keep -inf empty slots
+            vals = jnp.where(jnp.isfinite(vals), jax.nn.sigmoid(vals), -jnp.inf)
+        return vals, ids
 
     starts = jnp.arange(nb, dtype=jnp.int32) * block
 
@@ -250,7 +279,7 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         # -inf slots may carry arbitrary (even padded out-of-range) ids the
         # ApproxTopK picked among invalid entries — restore the exact path's
         # -1 empty-slot sentinel.
-        return top_vals, jnp.where(jnp.isfinite(top_vals), top_ids, -1)
+        return finish(top_vals, jnp.where(jnp.isfinite(top_vals), top_ids, -1))
 
     def body(carry, b0):
         vals, ids = carry  # (Q, k) each
@@ -268,12 +297,18 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         jnp.full((q, k), -1, jnp.int32),
     )
     (vals, ids), _ = jax.lax.scan(body, init, starts)
-    return vals, ids
+    return finish(vals, ids)
 
 
 # Budget for the materialized (Q, N) score matrix of the single-pass inner
 # retrieval path (fp32): past this, fall back to the blocked scan.
 _SINGLE_PASS_SCORE_BYTES = 1 << 30
+
+# Per-block score-tile budget for AUTO block sizing (block=None): the
+# 'inner' matmul path wants TALL blocks (fewer top-k merges — measured
+# 25.4 ms at block=2M vs 30.2 at 262k on a 10M-row table), bounded so a
+# max-size request cannot OOM on its (Q, block) fp32 tile.
+_BLOCKED_SCORE_BYTES = 256 << 20
 
 
 @functools.partial(
@@ -322,7 +357,7 @@ def top_k_partners(
     *,
     k: int = 10,
     mode: str = "mlp",
-    block: int = 4096,
+    block: Optional[int] = None,
     exclude_self: bool = True,
     compute_dtype=None,
     approx: bool = False,
@@ -340,14 +375,30 @@ def top_k_partners(
     scoring passes half-width with fp32 merges — ~2x on the FLOP-bound 'mlp'
     decoder, composes with ``approx``.
 
-    ``h`` may be an int8 :class:`~llp_tpu.serve.quant.QuantTable`: candidate
-    blocks dequantize on the fly, and the 'inner'+``approx`` single-pass
-    scores directly on the MXU int8 path with int32 accumulation
-    (``quant.int8_dot_scores``).  Measured speed-NEUTRAL at 4x less table
-    HBM and unchanged recall (scripts/bench_quant.py) — retrieval is
-    ApproxTopK/FLOP-bound, not table-DMA-bound."""
+    ``block=None`` auto-sizes: for 'inner'+``approx`` as tall as a 256MB
+    (Q, block) score tile allows (blocked 'inner' scores as a block MATMUL
+    and approx_max_k is wide-friendly, so fewer/taller blocks mean fewer
+    merges — 26x measured on a 10M-row table,
+    scripts/serve_scale10m_blocks.py); 4096 otherwise (exact lax.top_k
+    degrades with tile width; 'mlp' is FLOP-bound).
+
+    ``h`` may be an int8 :class:`~llp_tpu.serve.quant.QuantTable`: 'inner'
+    dots run directly on the int8 codes (MXU int8 path, int32-exact, no
+    dequantized block ever materializes — blocked AND single-pass); 'mlp'
+    candidate blocks dequantize on the fly.  4x less table HBM at unchanged
+    recall (scripts/bench_quant.py)."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
+    if block is None:
+        if mode == "inner" and approx:
+            # Tall matmul tiles: approx_max_k is wide-friendly, so fewer
+            # merges win (25.4 ms at block=2M vs 672 at 65k on 10M rows).
+            # EXACT lax.top_k degrades with width (a full-table top_k
+            # measured 116 ms) — exact keeps short tiles.
+            q_count = max(1, int(query_ids.shape[0]))
+            block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
+        else:
+            block = 4096
     block = min(block, max(8, n))
     k = min(k, n - 1 if exclude_self else n)
     cdtype = None

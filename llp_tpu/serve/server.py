@@ -68,7 +68,8 @@ class ServingState:
     """Owns the embedding table + predictor and answers padded queries."""
 
     def __init__(self, predictor_params, h, *, mode: str = "mlp",
-                 block: int = 4096, approx: bool = False, compute_dtype=None,
+                 block: Optional[int] = None, approx: bool = False,
+                 compute_dtype=None,
                  fused: bool = False, max_queries: int = 4096,
                  max_pairs: int = 1 << 20, quantize: str = "none"):
         self.params = predictor_params
@@ -186,7 +187,8 @@ class ShardedServingState(ServingState):
     """
 
     def __init__(self, predictor_params, h, mesh, *, mode: str = "mlp",
-                 block: int = 4096, approx: bool = False, axis: str = "data",
+                 block: Optional[int] = None, approx: bool = False,
+                 axis: str = "data",
                  compute_dtype=None, quantize: str = "none",
                  max_queries: int = 4096, max_pairs: int = 1 << 20):
         import jax
