@@ -420,6 +420,8 @@ def make_sharded_topk_partners(
             # with width — short tiles there.
             if mode == "inner" and approx:
                 blk = max(4096, (256 << 20) // (4 * max(1, q_h.shape[0])))
+            elif mode == "inner":
+                blk = 16384  # exact merges: measured best at 235k
             else:
                 blk = 4096
         else:

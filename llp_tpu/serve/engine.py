@@ -397,6 +397,8 @@ def top_k_partners(
             # measured 116 ms) — exact keeps short tiles.
             q_count = max(1, int(query_ids.shape[0]))
             block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
+        elif mode == "inner":
+            block = 16384  # exact: 10.7 ms vs 23.4 at 4096 (235k, measured)
         else:
             block = 4096
     block = min(block, max(8, n))
