@@ -130,12 +130,6 @@ def main(argv=None):
     float(h[0, 0])  # force materialization for honest timing
     t_encode = time.perf_counter() - t0
 
-    table = h
-    if args.quantize == "int8":
-        from llp_tpu.serve.quant import quantize_table
-
-        table = quantize_table(h)
-
     out = {"checkpoint": args.checkpoint, "nodes": int(h.shape[0]),
            "dim": int(h.shape[1]), "encode_s": round(t_encode, 4)}
 
@@ -169,12 +163,26 @@ def main(argv=None):
                 quantize=args.quantize,
                 max_queries=args.max_queries, max_pairs=args.max_pairs,
             )
+        # The state owns the (possibly int8-quantized) table now — drop the
+        # fp32 encode output so the daemon doesn't pin BOTH copies in device
+        # memory for its lifetime (at 10M rows that's 5.1 GB of dead fp32
+        # next to the 1.3 GB int8 table the flag was meant to buy).
+        del h
         if args.warmup:
             state.warmup(args.warmup)
         print(json.dumps(out), flush=True)
         serve_forever(state, args.host, args.port,
                       max_queue=args.max_queue)
         return out
+
+    # One-shot paths: quantize here (the daemon branch above quantizes inside
+    # its ServingState instead — quantizing before the branch kept an unused
+    # extra int8 copy alive for the daemon's lifetime).
+    table = h
+    if args.quantize == "int8":
+        from llp_tpu.serve.quant import quantize_table
+
+        table = quantize_table(h)
 
     if args.topk and args.queries:
         qi = np.array([int(s) for s in args.queries.split(",")], np.int32)

@@ -446,18 +446,43 @@ def make_sharded_topk_partners(
         # (scripts/serve_scale10m_blocks.py; llp_tpu.serve.engine does the
         # same rewrite single-device).
         inner_dot = mode == "inner"
+        if inner_dot and quant:
+            # Mirror the single-device engine's int8-codes dot (engine.py
+            # _topk_blocked): dot the int8 codes directly on the MXU int8
+            # path (int32-exact) and restore magnitudes with the rank-1
+            # scale grid — no dequantized candidate block ever materializes
+            # (4x less block traffic at exactly the table-doesn't-fit scale
+            # this path exists for).  The replicated queries arrive as
+            # DEQUANTIZED table rows; per-row absmax requantization recovers
+            # their original codes exactly (see quant.quantize_rows).
+            from llp_tpu.serve.quant import quantize_rows
+
+            q_codes, q_scale = quantize_rows(q_h)
 
         def block_scores(b0):
-            if quant:
-                cand = dequantize_slice(
-                    hp, b0, blk, dtype=compute_dtype or jnp.float32
+            gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
+            if inner_dot and quant:
+                cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, blk, axis=0)
+                cs = jax.lax.dynamic_slice_in_dim(hp.scale, b0, blk, axis=0)
+                scores = jax.lax.dot_general(
+                    q_codes, cq, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (q_scale[:, None] * cs[None, :])
+            elif inner_dot:
+                cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
+                # fp32 dot accumulation even under bf16 operands (free on
+                # the MXU): near-tie cross-shard ordering keeps full bits.
+                scores = jnp.matmul(
+                    q_h.astype(cand.dtype), cand.T,
+                    preferred_element_type=jnp.float32,
                 )
             else:
-                cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
-            gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
-            if inner_dot:
-                scores = q_h.astype(cand.dtype) @ cand.T  # raw dots
-            else:
+                if quant:
+                    cand = dequantize_slice(
+                        hp, b0, blk, dtype=compute_dtype or jnp.float32
+                    )
+                else:
+                    cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
                 scores = _score_block(params, q_h, cand, mode)
             invalid = (gid[None, :] >= num_nodes) | (
                 b0 + jnp.arange(blk) >= nl

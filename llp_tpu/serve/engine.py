@@ -236,7 +236,12 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
             ).astype(jnp.float32) * (q_scale[:, None] * cs[None, :])
         elif inner_dot:
             cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)
-            scores = (q_h @ cand.T).astype(jnp.float32)   # raw dots
+            # preferred_element_type: bf16 operands accumulate straight into
+            # fp32 dots (free on the MXU) instead of rounding through bf16
+            # before the upcast — near-tie top-k ordering keeps full precision.
+            scores = jnp.matmul(
+                q_h, cand.T, preferred_element_type=jnp.float32
+            )  # raw dots, fp32
         else:
             if quant:
                 cand = dequantize_slice(
@@ -337,7 +342,10 @@ def _topk_inner_single_pass(params, h, query_ids, *, k: int,
             h = h.astype(cdtype)
         q_h = jnp.take(h, query_ids, axis=0)                 # (Q, H)
         hp, _ = _pad_rows(h, 512)
-        dots = (q_h @ hp.T).astype(jnp.float32)              # (Q, Npad)
+        # fp32 accumulation even under bf16 operands (free on the MXU).
+        dots = jnp.matmul(
+            q_h, hp.T, preferred_element_type=jnp.float32
+        )                                                    # (Q, Npad) f32
     ids_all = jnp.arange(dots.shape[1], dtype=jnp.int32)
     invalid = ids_all[None, :] >= n
     if exclude_self:

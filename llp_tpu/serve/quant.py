@@ -61,16 +61,29 @@ class QuantTable:
 TableLike = Union[jnp.ndarray, QuantTable]
 
 
-@jax.jit
-def quantize_table(h: jnp.ndarray) -> QuantTable:
-    """Per-row absmax int8 quantization of an (N, H) embedding table."""
+def quantize_rows(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row absmax int8 quantization: ``(codes, scales)`` for (M, H) rows.
+
+    Traceable expression (no jit wrapper) so it composes inside shard_map /
+    other jitted programs.  Requantizing rows that were DEQUANTIZED from an
+    absmax table is exact: a dequantized row is ``q * s`` with
+    ``max|q| = 127``, so its absmax is ``127 s`` and the recovered scale and
+    codes equal the originals bit-for-bit (zero rows keep s=1, q=0).
+    """
     a = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=1)
     scale = jnp.where(a > 0, a / 127.0, 1.0)
     q = jnp.round(h.astype(jnp.float32) / scale[:, None])
-    return QuantTable(
-        q=jnp.clip(q, -127, 127).astype(jnp.int8),
-        scale=scale.astype(jnp.float32),
+    return (
+        jnp.clip(q, -127, 127).astype(jnp.int8),
+        scale.astype(jnp.float32),
     )
+
+
+@jax.jit
+def quantize_table(h: jnp.ndarray) -> QuantTable:
+    """Per-row absmax int8 quantization of an (N, H) embedding table."""
+    q, scale = quantize_rows(h)
+    return QuantTable(q=q, scale=scale)
 
 
 def dequantize_rows(

@@ -202,6 +202,42 @@ def test_sharded_quantized_matches_single_device(setup):
     )
 
 
+def test_requantize_dequantized_rows_exact(setup):
+    """Dequantized absmax rows requantize to their ORIGINAL codes/scales —
+    the property that lets the sharded 'inner' path recover query codes from
+    the replicated dequantized query rows."""
+    from llp_tpu.serve.quant import quantize_rows
+
+    _, qt, _ = setup
+    deq = jnp.asarray(as_numpy_dense(qt))
+    q2, s2 = quantize_rows(deq)
+    np.testing.assert_array_equal(np.asarray(q2), np.asarray(qt.q))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(qt.scale), rtol=1e-7)
+
+
+def test_sharded_quantized_inner_matches_single_device(setup):
+    """The sharded quantized 'inner' path dots int8 codes on-device (like the
+    single-device engine) — scores and ids must match the single-device
+    int8 path exactly."""
+    from jax.sharding import Mesh
+
+    from llp_tpu.serve.server import ServingState, ShardedServingState
+
+    emb, _, preds = setup
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+    single = ServingState(preds["inner"], emb, mode="inner", quantize="int8",
+                          block=32)
+    shard = ShardedServingState(preds["inner"], emb, mesh, mode="inner",
+                                quantize="int8", block=32)
+    v1, i1 = single.topk(list(range(7)), 5)
+    v2, i2 = shard.topk(list(range(7)), 5)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_daemon_quantized_roundtrip(setup):
     from llp_tpu.serve.server import BackgroundServer, ServingState
 
