@@ -377,6 +377,7 @@ def make_sharded_topk_partners(
     exclude_self: bool = True,
     approx: bool = False,
     compute_dtype=None,
+    mlp_fused: bool | None = None,
 ):
     """Distributed top-K partner retrieval over a NODE-SHARDED embedding table
     (the multi-chip counterpart of :func:`llp_tpu.serve.top_k_partners`).
@@ -446,6 +447,20 @@ def make_sharded_topk_partners(
         # (scripts/serve_scale10m_blocks.py; llp_tpu.serve.engine does the
         # same rewrite single-device).
         inner_dot = mode == "inner"
+        # 'mlp' shards route through the fused VMEM Hadamard→MLP kernel
+        # (raw logits, sigmoid after the cross-shard merge) — same z1-traffic
+        # fix as the single-device engine (llp_tpu.ops.pallas.mlp_topk_kernel).
+        from llp_tpu.ops.pallas.mlp_topk_kernel import (
+            fused_mlp_default,
+            fused_mlp_supported,
+        )
+
+        use_fused = (
+            mode == "mlp"
+            and (mlp_fused if mlp_fused is not None else fused_mlp_default())
+            and fused_mlp_supported(params["lins"], int(q_h.shape[1]))
+        )
+        raw_scores = inner_dot or use_fused
         if inner_dot and quant:
             # Mirror the single-device engine's int8-codes dot (engine.py
             # _topk_blocked): dot the int8 codes directly on the MXU int8
@@ -476,6 +491,22 @@ def make_sharded_topk_partners(
                     q_h.astype(cand.dtype), cand.T,
                     preferred_element_type=jnp.float32,
                 )
+            elif use_fused:
+                from llp_tpu.ops.pallas.mlp_topk_kernel import (
+                    mlp_block_logits,
+                )
+
+                if quant:
+                    cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, blk, axis=0)
+                    cs = jax.lax.dynamic_slice_in_dim(
+                        hp.scale, b0, blk, axis=0
+                    )
+                    scores = mlp_block_logits(
+                        params["lins"], q_h, cq, scales=cs
+                    )
+                else:
+                    cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
+                    scores = mlp_block_logits(params["lins"], q_h, cand)
             else:
                 if quant:
                     cand = dequantize_slice(
@@ -535,7 +566,7 @@ def make_sharded_topk_partners(
         alli = jnp.transpose(alli, (1, 0, 2)).reshape(q, p * k)
         gvals, gpos = jax.lax.top_k(allv, k)
         gids = jnp.take_along_axis(alli, gpos, axis=1)
-        if inner_dot:  # raw dots -> probabilities; keep -inf empty slots
+        if raw_scores:  # raw dots/logits -> probabilities; keep -inf slots
             gvals = jnp.where(
                 jnp.isfinite(gvals), jax.nn.sigmoid(gvals), -jnp.inf
             )

@@ -195,10 +195,12 @@ def score_pairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "k", "block", "exclude_self", "cdtype", "approx"),
+    static_argnames=("mode", "k", "block", "exclude_self", "cdtype", "approx",
+                     "mlp_fused"),
 )
 def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
-                  exclude_self: bool, cdtype=None, approx: bool = False):
+                  exclude_self: bool, cdtype=None, approx: bool = False,
+                  mlp_fused: bool = False):
     n = h.shape[0]
     quant = isinstance(h, QuantTable)
     if cdtype is not None:
@@ -224,6 +226,11 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
     if inner_dot and quant:
         q_codes = jnp.take(h.q, query_ids, axis=0)        # (Q, H) int8
         q_scale = jnp.take(h.scale, query_ids, axis=0)    # (Q,)
+    # 'mlp' blocks with the fused Pallas kernel score Hadamard→MLP tiles
+    # entirely in VMEM (raw logits; sigmoid deferred like 'inner') — the
+    # (Q, B, F) hidden activation that made the XLA path z1-traffic-bound
+    # never reaches HBM (BASELINE.md "'mlp' retrieval is z1-TRAFFIC-bound").
+    raw_scores = inner_dot or (mlp_fused and mode == "mlp")
 
     def block_scores(b0):
         cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
@@ -242,6 +249,16 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
             scores = jnp.matmul(
                 q_h, cand.T, preferred_element_type=jnp.float32
             )  # raw dots, fp32
+        elif mlp_fused and mode == "mlp":
+            from llp_tpu.ops.pallas.mlp_topk_kernel import mlp_block_logits
+
+            if quant:
+                cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, block, axis=0)
+                cs = jax.lax.dynamic_slice_in_dim(hp.scale, b0, block, axis=0)
+                scores = mlp_block_logits(params["lins"], q_h, cq, scales=cs)
+            else:
+                cand = jax.lax.dynamic_slice_in_dim(hp, b0, block, axis=0)
+                scores = mlp_block_logits(params["lins"], q_h, cand)
         else:
             if quant:
                 cand = dequantize_slice(
@@ -259,7 +276,7 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         return jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32)), cand_ids
 
     def finish(vals, ids):
-        if inner_dot:  # raw dots -> probabilities; keep -inf empty slots
+        if raw_scores:  # raw dots/logits -> probabilities; keep -inf slots
             vals = jnp.where(jnp.isfinite(vals), jax.nn.sigmoid(vals), -jnp.inf)
         return vals, ids
 
@@ -369,6 +386,7 @@ def top_k_partners(
     exclude_self: bool = True,
     compute_dtype=None,
     approx: bool = False,
+    mlp_fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K partner retrieval: for each query node, the K nodes with the
     highest link probability.  Returns ``(scores, node_ids)``, each (Q, K),
@@ -393,10 +411,38 @@ def top_k_partners(
     ``h`` may be an int8 :class:`~llp_tpu.serve.quant.QuantTable`: 'inner'
     dots run directly on the int8 codes (MXU int8 path, int32-exact, no
     dequantized block ever materializes — blocked AND single-pass); 'mlp'
-    candidate blocks dequantize on the fly.  4x less table HBM at unchanged
-    recall (scripts/bench_quant.py)."""
+    candidate blocks dequantize on the fly.  4x less table HBM at a ~1pp
+    recall@10 cost under approx (0.963 int8 vs 0.973 fp32 at collab scale;
+    scripts/bench_quant.py).
+
+    ``mlp_fused=None`` (auto) routes supported 'mlp' head shapes through the
+    fused VMEM Hadamard→MLP Pallas kernel on TPU
+    (:mod:`llp_tpu.ops.pallas.mlp_topk_kernel`): the (Q, B, F) hidden
+    activation that made the XLA path z1-traffic-bound never reaches HBM;
+    sigmoid defers to the k winners (monotone — identical ranks).  Pass
+    ``False`` to force the XLA expression, ``True`` to opt in off-TPU
+    (interpret mode; tests)."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
+    if mlp_fused is None:
+        # Auto: the fused VMEM kernel on TPU backends for supported head
+        # shapes (lane-aligned dims, >=2 layers); XLA expression otherwise.
+        from llp_tpu.ops.pallas.mlp_topk_kernel import (
+            fused_mlp_default,
+            fused_mlp_supported,
+        )
+
+        mlp_fused = (
+            mode == "mlp"
+            and fused_mlp_default()
+            and fused_mlp_supported(predictor_params["lins"], int(h.shape[1]))
+        )
+    elif mlp_fused:
+        from llp_tpu.ops.pallas.mlp_topk_kernel import fused_mlp_supported
+
+        mlp_fused = mode == "mlp" and fused_mlp_supported(
+            predictor_params["lins"], int(h.shape[1])
+        )
     if block is None:
         if mode == "inner" and approx:
             # Tall matmul tiles: approx_max_k is wide-friendly, so fewer
@@ -407,6 +453,12 @@ def top_k_partners(
             block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
         elif mode == "inner":
             block = 16384  # exact: 10.7 ms vs 23.4 at 4096 (235k, measured)
+        elif mlp_fused and approx:
+            # Fused-kernel blocks are FLOP-bound at any tile height; taller
+            # blocks mean fewer ApproxTopK merges + fewer kernel launches
+            # (same budget-bounded sizing as 'inner'+approx).
+            q_count = max(1, int(query_ids.shape[0]))
+            block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
         else:
             block = 4096
     block = min(block, max(8, n))
@@ -425,7 +477,7 @@ def top_k_partners(
             )
     return _topk_blocked(predictor_params, h, query_ids, mode=mode, k=k,
                          block=block, exclude_self=exclude_self, cdtype=cdtype,
-                         approx=approx)
+                         approx=approx, mlp_fused=bool(mlp_fused))
 
 
 def candidate_scores_numpy(params, h, qi, mode):  # pragma: no cover - test aid
