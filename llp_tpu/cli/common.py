@@ -45,7 +45,7 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_dir", type=str, default="./saved")
     p.add_argument(
         "--spmm_impl", type=str, default="auto",
-        choices=["auto", "xla", "pallas", "segsum"],
+        choices=["auto", "xla", "segsum"],
     )
     p.add_argument(
         "--epochs_per_jit", type=int, default=1,

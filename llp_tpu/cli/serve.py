@@ -48,7 +48,7 @@ def main(argv=None):
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
                    help="store the embedding table per-row int8: 4x "
-                        "less HBM at unchanged recall; pair scoring 1.17x "
+                        "less HBM at ~1pp recall@10 cost; pair scoring 1.17x "
                         "(at the gather floor), retrieval speed-neutral "
                         "(scripts/bench_quant.py)")
     p.add_argument("--reencode", action="store_true",

@@ -1,4 +1,19 @@
-"""Pallas blocked-tile SpMM — the MXU-native sparse aggregation kernel.
+"""ARCHIVED EXPERIMENT — Pallas blocked-tile SpMM (not on the dispatch surface).
+
+Retired from ``llp_tpu.ops.spmm`` in round 3: across every measured regime it
+lost to the windowed segsum kernel — 28 ms vs 3.0 ms at LLP densities
+(413k×256, 13% tile fill), and RCM reordering (its densification lever)
+measured 1.7× WORSE at collab scale because it destroys the stand-ins'
+native community locality (BASELINE.md "Collab-scale teacher roofline",
+levers table).  One-hot adjacency recovery pays O(TILE_E·128) MXU FLOPs per
+chunk regardless of fill; at link-prediction sparsity the windowed
+segmented-sum formulation (segsum_kernel.py) dominates.  Kept in-tree as the
+record of the design + measurements; ``build_tiles`` still serves the
+reorder diagnostics (tests/test_reorder.py).
+
+Original design notes follow.
+
+Blocked-tile SpMM — the MXU-native sparse aggregation formulation.
 
 Replaces ``torch_sparse.matmul`` (reference ``src/sageconv_updated.py:86-89``)
 with a formulation that keeps every FLOP on the MXU instead of fighting the

@@ -10,9 +10,16 @@ Two implementations behind one interface:
 * ``impl="xla"`` — gather sender rows, mask, ``jax.ops.segment_sum`` /
   ``segment_max`` into receivers.  XLA lowers this to the TPU's native
   dynamic-gather + scatter-add; accumulation is fp32 even for bf16 inputs.
-* ``impl="pallas"`` — blocked-CSR Pallas kernel (see
-  :mod:`llp_tpu.ops.pallas.spmm_kernel`), used when the feature width is
-  lane-aligned; falls back to XLA otherwise.
+* ``impl="segsum"`` — windowed Pallas segmented-sum kernel (see
+  :mod:`llp_tpu.ops.pallas.segsum_kernel`), the fastest path on TPU (2.2×
+  over the sorted XLA scatter); requires ``prepare_segsum(graph)`` outside
+  jit, falls back to XLA otherwise.
+
+(A third, blocked-tile implementation lived behind ``impl="pallas"`` through
+round 2; it never beat segsum in any measured regime — 28 ms vs 3.0 ms at
+LLP densities, RCM-reordered collab 1.7× WORSE (BASELINE.md) — and was
+retired from this dispatch surface in round 3.  The module remains as an
+archived experiment: :mod:`llp_tpu.ops.pallas.spmm_kernel`.)
 
 Semantics (matching torch_sparse.matmul over an adjacency whose values were
 stripped, i.e. binary weights):
@@ -31,7 +38,7 @@ import jax.numpy as jnp
 
 from llp_tpu.core.graph import Graph
 
-_IMPLS = ("xla", "pallas", "segsum")
+_IMPLS = ("xla", "segsum")
 
 
 def spmm(
@@ -86,11 +93,12 @@ def spmm(
                 return spmm_segsum(graph, x, reduce, edge_weight)
         impl = "xla"
     if impl == "pallas":
-        from llp_tpu.ops.pallas.spmm_kernel import spmm_pallas, pallas_supported
-
-        if edge_weight is None and pallas_supported(graph, x):
-            return spmm_pallas(graph, x, reduce)
-        impl = "xla"
+        raise ValueError(
+            "impl='pallas' (blocked-tile kernel) was retired in round 3: it "
+            "never beat the segsum kernel in any measured regime "
+            "(BASELINE.md). Use impl='segsum' (TPU) or 'xla'; the archived "
+            "experiment lives in llp_tpu/ops/pallas/spmm_kernel.py."
+        )
     if impl != "xla":
         raise ValueError(f"unknown impl {impl!r}; expected one of {_IMPLS}")
     return _spmm_xla(graph, x, reduce, edge_weight)

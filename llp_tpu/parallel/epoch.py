@@ -367,7 +367,8 @@ def make_halo_teacher_epoch_fn(
     feature matrix itself by node owner (``llp_tpu.parallel.halo`` 1-D range
     partition) — the regime where N·D no longer fits one chip.  Per layer the
     encoder runs fully node-sharded (one ``all_to_all`` halo exchange per
-    aggregation, overlapped with the local-edge segment-sum); edge scoring
+    aggregation — overlappable with the local-edge segment-sum by
+    construction, unmeasured on real multi-chip hardware); edge scoring
     pulls only the batch's embedding rows from the node-sharded h via
     :func:`table_gather` (O(B·H) over ICI per step — the full (N, H) table
     never replicates).

@@ -13,8 +13,12 @@ chip), NODE FEATURES ARE SHARDED BY OWNER:
   (both still receiver-sorted). The remote rows each device needs — its halo
   — are statically known per (owner, requester) pair, so the exchange is one
   ``jax.lax.all_to_all`` of padded index-gathered buffers over the mesh
-  axis. XLA overlaps it with the local-edge aggregation, which has no
-  dependence on the exchange.
+  axis. The local-edge aggregation has no data dependence on the exchange,
+  so XLA is FREE to overlap the all_to_all with it — by construction,
+  UNMEASURED on real multi-chip hardware (this environment has one chip;
+  ``scripts/measure_scaling_multiproc.py`` is the one command to run when
+  a real mesh appears — the recorded 0.53 there is a 2-core Gloo number,
+  not TPU-predictive).
 * aggregation is a sorted per-device segment-sum over
   ``[local rows ; received halo rows]``; the output stays node-sharded, so
   per-row ops (the encoder linears, ReLU, dropout) stay embarrassingly
@@ -213,7 +217,8 @@ def halo_spmm_local(
     buf = jnp.take(x, send_idx.reshape(-1), axis=0).reshape(p_, m, -1)
     halo = jax.lax.all_to_all(buf, axis, 0, 0, tiled=True)
     halo = halo.reshape(p_ * m, -1)
-    # Local-sender aggregation overlaps with the exchange (no dependence).
+    # Local-sender aggregation has no dependence on the exchange — XLA
+    # may overlap them (by construction; unmeasured on real ICI).
     msgs_l = jnp.take(x, ls, axis=0).astype(acc)
     if lw is not None:
         msgs_l = msgs_l * lw[0][:, None]

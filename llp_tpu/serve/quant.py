@@ -3,9 +3,9 @@
 Per-row symmetric int8 quantization shrinks a serving table 4× (collab's
 236k × 256 fp32 = 241MB → 61MB incl. the scale vector).  Measured on the
 TPU chip (scripts/bench_quant.py, round 2): the memory is the headline —
-4× bigger tables per chip (or 4× fewer shards) at zero recall cost
-(recall@10 vs fp32-exact: 0.963 int8+approx vs 0.973 fp32+approx — the
-ApproxTopK, not the quantization, is the approximation; score maxerr ≤2e-4).
+4× bigger tables per chip (or 4× fewer shards) at a ~1pp recall cost
+(recall@10 vs fp32-exact: 0.963 int8+approx vs 0.973 fp32+approx; score
+maxerr ≤2e-4 — exact retrieval reorders only near-ties).
 Speed: 1M-pair scoring 39.6 → 33.7 ms (1.17×, right AT the bare-gather
 floor BASELINE.md records); retrieval is NEUTRAL — 'inner' single-pass is
 ApproxTopK-dominated and 'mlp' is FLOP-bound, so the table format doesn't

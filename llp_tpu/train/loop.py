@@ -382,16 +382,7 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     data = prepare_production(cfg) if production else prepare_transductive(cfg)
     in_dim = int(data["x"].shape[1])
     conv = _conv_variant(cfg)
-    if cfg.spmm_impl == "pallas":
-        from llp_tpu.ops.pallas.spmm_kernel import prepare_pallas
-
-        prepare_pallas(data["graph"])
-        if production:
-            prepare_pallas(data["inf_graph"])
-        elif data.get("eval_graph") is not None and data["eval_graph"] is not data["graph"]:
-            # use_valedges_as_input evaluates on a second message graph
-            prepare_pallas(data["eval_graph"])
-    elif cfg.spmm_impl == "segsum":
+    if cfg.spmm_impl == "segsum":
         from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum
 
         prepare_segsum(data["graph"], weighted=data["graph"].edge_weight is not None)
