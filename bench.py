@@ -68,15 +68,16 @@ GATE_FLOORS = {
     # level, session 7); epoch-fn level here — floor at 6M.
     "student_bf16_edges_per_sec": 6.0e6,
     # 235k fp32 table, Q=256, k=10 (ms): inner approx single-pass measured
-    # 4.7; inner exact blocked 10.7; fused mlp bf16+approx measured 11.5
-    # (round 3 — was 102 unfused).
+    # 4.7 (r2); inner exact blocked 10.7 (r2); mlp bf16+approx at the
+    # default block measured 51.5 (r3 — the XLA path at b8192; the r2
+    # 102 ms record was the b16k cliff, scripts/bench_mlp_fused2.py).
     "inner_approx_235k_ms": 12.0,
     "inner_exact_235k_ms": 25.0,
-    "mlp_fused_bf16_approx_235k_ms": 30.0,
-    # 10M-row int8 table (ms): inner approx blocked measured 25.4; fused
-    # mlp int8+bf16 approx measured 446 (round 3 — was 4286 unfused).
+    "mlp_approx_235k_ms": 80.0,
+    # 10M-row int8 table (ms): inner approx blocked measured 25.4 (r2);
+    # mlp int8+bf16 approx measured 553 at the default block (r3).
     "inner_approx_10m_int8_ms": 60.0,
-    "mlp_fused_10m_int8_ms": 900.0,
+    "mlp_approx_10m_int8_ms": 900.0,
 }
 
 
@@ -259,7 +260,7 @@ def bench_serving() -> dict:
     chain("inner_exact_235k_ms",
           lambda qi, hp: top_k_partners(pred_inner, hp, qi, k=k_top,
                                         mode="inner"), h1, n1)
-    chain("mlp_fused_bf16_approx_235k_ms",
+    chain("mlp_approx_235k_ms",
           lambda qi, hp: top_k_partners(pred, hp, qi, k=k_top, mode="mlp",
                                         approx=True, compute_dtype=bf),
           h1, n1)
@@ -281,7 +282,7 @@ def bench_serving() -> dict:
     chain("inner_approx_10m_int8_ms",
           lambda qi, hp: top_k_partners(pred2_inner, hp, qi, k=k_top,
                                         mode="inner", approx=True), qt, n2)
-    chain("mlp_fused_10m_int8_ms",
+    chain("mlp_approx_10m_int8_ms",
           lambda qi, hp: top_k_partners(pred2, hp, qi, k=k_top, mode="mlp",
                                         approx=True, compute_dtype=bf),
           qt, n2)

@@ -2,20 +2,27 @@
 
 The retrieval hot path for the 'mlp' link predictor scores every (query,
 candidate) pair through the reference ``LinkPredictor`` head (reference
-``src/models.py:139-150``): ``MLP(h_q ⊙ h_c)``.  The XLA expression of a
+``src/models.py:139-150``): ``MLP(h_q ⊙ h_c)``.  A naive XLA lowering of a
 (Q, B) score tile materializes the hidden activation ``z1 = relu((q⊙c)@W1)``
-of shape (Q, B, F) in HBM — at Q=256, N=235k, F=256 that is 30.8 GB of bf16
-round-trip traffic (≈96 ms at ~800 GB/s), against a ~20-40 ms matmul-FLOP
-floor (BASELINE.md "'mlp' retrieval is z1-TRAFFIC-bound").  The measured
-102 ms bf16 retrieval is that traffic wall, not the FLOPs.
+of shape (Q, B, F) in HBM — 30.8 GB of bf16 round-trip at Q=256, N=235k,
+F=256.  This kernel keeps it in VMEM by construction: grid over
+(candidate-tile, query-tile); each cell computes the Hadamard expansion, the
+full Linear/ReLU stack, and the final logit on-chip, writing only the
+(TQ, TB) logit tile.  Per-tile work is one MXU-shaped ``(TQ·TB, H) @ (H,
+F)`` matmul per layer.
 
-This kernel removes the wall: grid over (candidate-tile, query-tile); each
-cell computes the Hadamard expansion, the full Linear/ReLU stack, and the
-final logit entirely in VMEM, writing only the (TQ, TB) logit tile to HBM.
-Per-tile work is one MXU-shaped ``(TQ·TB, H) @ (H, F)`` matmul per layer —
-the FLOPs are unchanged, the 30.8 GB intermediate never exists.  HBM traffic
-drops to candidates once per column pass + (Q, N) logits (≈0.25 GB at the
-shape above — 128x less).
+MEASURED OUTCOME (round 3, scripts/bench_mlp_fused{,2}.py — why this is an
+OPT-IN, not the default): XLA performs the same fusion on its own at the
+engine's default tile sizes.  At block ≤ 8192 the XLA expression runs at
+~150 TFLOP/s effective (51.7 ms at Q=256/N=235k fp32; 553 ms at 10M int8)
+and falls off a cliff at block=16384 (191 ms) — the round-2 "z1-traffic
+wall" (102-193 ms) was that cliff, measured at b16k.  This kernel reaches
+~116 TFLOP/s (68-76 ms; tile sweep tq∈{4..32}, tb∈{256..1024} — XLA's
+internal matmul tiling beats these hand tiles), and stays 1.2x slower at
+3-layer heads and 10M int8 too.  Kept as the explicit-control variant
+(``top_k_partners(mlp_fused=True)``): deterministic VMEM residency
+independent of XLA fusion heuristics, in-kernel int8 dequant, and the
+starting point if a future XLA/hardware rev moves the cliff.
 
 Sigmoid is NOT applied (monotone — the caller's top-k merge ranks raw
 logits and sigmoids only the k winners, like the blocked 'inner' rewrite).

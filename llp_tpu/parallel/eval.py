@@ -424,7 +424,9 @@ def make_sharded_topk_partners(
             elif mode == "inner":
                 blk = 16384  # exact merges: measured best at 235k
             else:
-                blk = 4096
+                # 'mlp': XLA's reduce-epilogue fusion holds to b8192 and
+                # cliffs at b16384 (llp_tpu.serve.engine block rationale).
+                blk = 8192
         else:
             blk = block
         blk = min(blk, nl)
@@ -447,17 +449,15 @@ def make_sharded_topk_partners(
         # (scripts/serve_scale10m_blocks.py; llp_tpu.serve.engine does the
         # same rewrite single-device).
         inner_dot = mode == "inner"
-        # 'mlp' shards route through the fused VMEM Hadamard→MLP kernel
-        # (raw logits, sigmoid after the cross-shard merge) — same z1-traffic
-        # fix as the single-device engine (llp_tpu.ops.pallas.mlp_topk_kernel).
-        from llp_tpu.ops.pallas.mlp_topk_kernel import (
-            fused_mlp_default,
-            fused_mlp_supported,
-        )
+        # 'mlp' shards can opt into the fused VMEM Hadamard→MLP kernel
+        # (raw logits, sigmoid after the cross-shard merge).  Default OFF:
+        # the XLA expression measured faster at every serving shape on v5e
+        # (llp_tpu.serve.engine.top_k_partners rationale).
+        from llp_tpu.ops.pallas.mlp_topk_kernel import fused_mlp_supported
 
         use_fused = (
             mode == "mlp"
-            and (mlp_fused if mlp_fused is not None else fused_mlp_default())
+            and bool(mlp_fused)
             and fused_mlp_supported(params["lins"], int(q_h.shape[1]))
         )
         raw_scores = inner_dot or use_fused

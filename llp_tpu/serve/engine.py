@@ -415,28 +415,25 @@ def top_k_partners(
     recall@10 cost under approx (0.963 int8 vs 0.973 fp32 at collab scale;
     scripts/bench_quant.py).
 
-    ``mlp_fused=None`` (auto) routes supported 'mlp' head shapes through the
-    fused VMEM Hadamard→MLP Pallas kernel on TPU
-    (:mod:`llp_tpu.ops.pallas.mlp_topk_kernel`): the (Q, B, F) hidden
-    activation that made the XLA path z1-traffic-bound never reaches HBM;
-    sigmoid defers to the k winners (monotone — identical ranks).  Pass
-    ``False`` to force the XLA expression, ``True`` to opt in off-TPU
-    (interpret mode; tests)."""
+    ``mlp_fused=True`` opts supported 'mlp' head shapes into the fused VMEM
+    Hadamard→MLP Pallas kernel (:mod:`llp_tpu.ops.pallas.mlp_topk_kernel`;
+    sigmoid defers to the k winners — identical ranks).  Default (None) is
+    the XLA expression: measured FASTER than the kernel at every serving
+    shape on v5e — XLA's reduce-epilogue fusion already keeps the hidden
+    activation tile-resident at the default block size (the round-2
+    "z1-traffic wall" only exists at block≥16384;
+    scripts/bench_mlp_fused2.py)."""
     query_ids = jnp.asarray(query_ids, jnp.int32)
     n = h.shape[0]
     if mlp_fused is None:
-        # Auto: the fused VMEM kernel on TPU backends for supported head
-        # shapes (lane-aligned dims, >=2 layers); XLA expression otherwise.
-        from llp_tpu.ops.pallas.mlp_topk_kernel import (
-            fused_mlp_default,
-            fused_mlp_supported,
-        )
-
-        mlp_fused = (
-            mode == "mlp"
-            and fused_mlp_default()
-            and fused_mlp_supported(predictor_params["lins"], int(h.shape[1]))
-        )
+        # Default OFF (round-3 measurement, scripts/bench_mlp_fused{,2}.py):
+        # at block<=8192 XLA already fuses the 2-layer head's (F,1) matvec
+        # as a reduce-epilogue on the Hadamard matmul — the hidden
+        # activation stays tile-resident and the XLA path runs at ~150
+        # TFLOP/s effective (51.7 ms at Q=256/N=235k fp32), beating the
+        # Pallas kernel (68-76 ms) at every measured shape incl. 3-layer
+        # heads and 10M int8 tables.  The kernel stays the explicit opt-in.
+        mlp_fused = False
     elif mlp_fused:
         from llp_tpu.ops.pallas.mlp_topk_kernel import fused_mlp_supported
 
@@ -453,14 +450,13 @@ def top_k_partners(
             block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
         elif mode == "inner":
             block = 16384  # exact: 10.7 ms vs 23.4 at 4096 (235k, measured)
-        elif mlp_fused and approx:
-            # Fused-kernel blocks are FLOP-bound at any tile height; taller
-            # blocks mean fewer ApproxTopK merges + fewer kernel launches
-            # (same budget-bounded sizing as 'inner'+approx).
-            q_count = max(1, int(query_ids.shape[0]))
-            block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
         else:
-            block = 4096
+            # 'mlp' tiles: XLA keeps the head's hidden activation
+            # tile-resident (reduce-epilogue fusion) up to b8192 and falls
+            # off a CLIFF at b16384 (51.7 -> 191 ms at 235k — the round-2
+            # "z1-traffic wall" was this cliff, measured at b16k;
+            # scripts/bench_mlp_fused2.py block curve).
+            block = 8192
     block = min(block, max(8, n))
     k = min(k, n - 1 if exclude_self else n)
     cdtype = None
