@@ -418,6 +418,15 @@ def spmm_segsum(
     graph, x: jnp.ndarray, reduce: str, edge_weight: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     if reduce == "max":
+        # MEASURED REJECTION of a windowed max variant (round 3,
+        # scripts/heavy_r3.py phase A, 413k x 256 on v5e): XLA sorted
+        # segment-max 11.7 ms vs XLA sorted sum 8.1 vs this kernel's sum
+        # 3.6 vs the bare sender gather 3.1 — a max kernel could plausibly
+        # claw ~3x, BUT the one-hot MXU reduction doesn't express max (it
+        # would need an in-window masked-scan formulation), and NOTHING in
+        # the protocol calls it: the reference's hot path is reduce='mean'
+        # only (reference src/sageconv_updated.py:86-89); 'max' exists for
+        # torch_sparse.matmul API completeness.  Cost/benefit: rejected.
         from llp_tpu.ops.spmm import _spmm_xla
 
         return _spmm_xla(graph, x, "max")

@@ -104,9 +104,9 @@ try:
         batch_size=64 * 1024,
         save_dir=tmp + "/saved", results_dir=tmp + "/results",
     )
-    tstats, _ = run_teacher(tcfg, verbose=False)
+    tstats = run_teacher(tcfg, verbose=False)[0]  # stats DICT
     log(f"teacher done in {time.time() - t0:.0f}s: "
-        f"AUC {tstats[0]['AUC']}, Hits@50 {tstats[0]['Hits@50']}")
+        f"AUC {tstats['AUC']}, Hits@50 {tstats['Hits@50']}")
     log(f"  mem after teacher: {mem_mb()}")
 
     common = dict(
@@ -117,22 +117,22 @@ try:
     )
     t0 = time.time()
     scfg = StudentConfig(**common)  # C = 3*2*2 = 12 (defaults)
-    s_small, _ = run_student(scfg, verbose=False)
+    s_small = run_student(scfg, verbose=False)[0]
     log(f"student C=12 done in {time.time() - t0:.0f}s: "
-        f"AUC {s_small[0]['AUC']}, Hits@50 {s_small[0]['Hits@50']}")
+        f"AUC {s_small['AUC']}, Hits@50 {s_small['Hits@50']}")
 
     # C = rw_step * hops * (1 + ns_rate) = 5*3*4 = 60 -> 1770 pairs/anchor.
     t0 = time.time()
     scfg60 = StudentConfig(**common, rw_step=5, hops=3, ns_rate=3,
                            llp_r_chunk=354)  # 1770 = 5*354: exact chunking
-    s60, _ = run_student(scfg60, verbose=False)
+    s60 = run_student(scfg60, verbose=False)[0]
     dt60 = time.time() - t0
     log(f"student C=60 llp_r_chunk=354 done in {dt60:.0f}s: "
-        f"AUC {s60[0]['AUC']}, Hits@50 {s60[0]['Hits@50']}")
+        f"AUC {s60['AUC']}, Hits@50 {s60['Hits@50']}")
     log(f"  mem after C=60 student: {mem_mb()}")
     for k in ("epoch_s", "edges_per_s", "steps_per_s"):
-        if k in s60[0]:
-            log(f"  {k}: {s60[0][k]}")
+        if k in s60:
+            log(f"  {k}: {s60[k]}")
 except Exception as ex:  # noqa: BLE001
     import traceback
 
@@ -149,20 +149,20 @@ try:
         batch_size=64 * 1024, transductive="production",
         save_dir=tmp + "/saved", results_dir=tmp + "/results",
     )
-    tp, _ = run_teacher(tcfg_p, verbose=False)
+    tp = run_teacher(tcfg_p, verbose=False)[0]
     dt_t = time.time() - t0
     log(f"production teacher done in {dt_t:.0f}s")
     for k in ("AUC", "Hits@50"):
-        log(f"  teacher {k}: {tp[0].get(k)}")
+        log(f"  teacher {k}: {tp.get(k)}")
     log(f"  mem: {mem_mb()}")
 
     t0 = time.time()
     scfg_p = StudentConfig(**{**common, "transductive": "production"})
-    sp, _ = run_student(scfg_p, verbose=False)
+    sp = run_student(scfg_p, verbose=False)[0]
     dt_s = time.time() - t0
     log(f"production student done in {dt_s:.0f}s")
     for k in ("AUC", "Hits@50"):
-        log(f"  student {k}: {sp[0].get(k)}")
+        log(f"  student {k}: {sp.get(k)}")
 except Exception as ex:  # noqa: BLE001
     import traceback
 
