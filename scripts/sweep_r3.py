@@ -44,9 +44,9 @@ tcfg = TeacherConfig(
     patience=50, hidden_channels=256, batch_size=64 * 1024,
     save_dir=tmp + "/saved", results_dir=tmp + "/results",
 )
-tstats, _ = run_teacher(tcfg, verbose=False)
+tstats = run_teacher(tcfg, verbose=False)[0]  # stats DICT
 log(f"teacher done in {time.time() - t0:.0f}s: "
-    f"Hits@20 {tstats[0]['Hits@20']}, AUC {tstats[0]['AUC']}")
+    f"Hits@20 {tstats['Hits@20']}, AUC {tstats['AUC']}")
 
 with open("/root/repo/configs/cora_transductive.yaml") as f:
     spec = yaml.safe_load(f)
