@@ -193,6 +193,10 @@ def bench_student(spec, ei: np.ndarray, x: np.ndarray) -> float:
         num_nodes=n, num_pos_edges=e, link_batch_size=bl,
         node_batch_size=bn, minibatch=True, compute_dtype="bfloat16",
         epochs_per_call=epc,
+        # The real collab-scale driver switches to uniform negatives past
+        # MAX_EXACT_NODES (loop.py::_effective_neg_mode — dense keys u*N+v
+        # overflow int32 at this N); gate the program production runs.
+        neg_mode="uniform",
     )
     params = init_student_params(
         jax.random.PRNGKey(2), in_channels=dim, hidden_channels=hidden,

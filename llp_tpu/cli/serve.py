@@ -37,7 +37,8 @@ def main(argv=None):
                    help="comma-separated src:dst pairs to score")
     p.add_argument("--block", type=int, default=None,
                    help="retrieval tile height (default: auto — tall "
-                        "matmul tiles for 'inner', 4096 for 'mlp')")
+                        "matmul tiles for 'inner' approx, 16384 exact, "
+                        "8192 for 'mlp')")
     p.add_argument("--approx", action="store_true",
                    help="retrieve --topk through XLA ApproxTopK (4-5x at "
                         "serving shapes, recall ~0.95-0.98; exact on CPU)")

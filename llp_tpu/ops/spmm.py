@@ -57,7 +57,11 @@ def spmm(
       reduce: "sum" | "mean" | "max".
       edge_weight: optional (E_pad,) per-edge scalar weights (sum/mean only) —
         used by GCN's symmetric normalization.
-      impl: "xla" (segment ops) or "pallas" (blocked-CSR kernel).
+      impl: "xla" (segment ops), "segsum" (windowed Pallas kernel — the
+        fastest path on TPU; needs prepare_segsum(graph) outside jit), or
+        a callable (injected device-local aggregation for sharded epochs).
+        The retired "pallas" blocked-tile impl raises with a pointer to
+        its archive.
 
     Returns:
       (N, D) aggregated features, dtype follows x (accumulation in fp32).

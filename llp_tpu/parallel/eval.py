@@ -400,6 +400,21 @@ def make_sharded_topk_partners(
         from llp_tpu.serve.quant import QuantTable, dequantize_slice
 
         quant = isinstance(h_shard, QuantTable)
+        inner_int8 = quant and mode == "inner"
+        if inner_int8:
+            # Mirror the single-device engine's int8-codes dot (engine.py
+            # _topk_blocked): dot the int8 codes directly on the MXU int8
+            # path (int32-exact) and restore magnitudes with the rank-1
+            # scale grid — no dequantized candidate block ever materializes
+            # (4x less block traffic at exactly the table-doesn't-fit scale
+            # this path exists for).  The replicated queries arrive as
+            # DEQUANTIZED fp32 table rows; per-row absmax requantization
+            # recovers their original codes exactly (quant.quantize_rows) —
+            # which is why this MUST run BEFORE any compute_dtype cast
+            # below: a bf16 round-trip flips codes by ±1.
+            from llp_tpu.serve.quant import quantize_rows
+
+            q_codes, q_scale = quantize_rows(q_h)
         if compute_dtype is not None:
             # Scoring in the reduced dtype (the 'mlp' decoder is FLOP-bound:
             # bf16 is its ~2x lever — llp_tpu.serve.engine semantics); the
@@ -461,18 +476,6 @@ def make_sharded_topk_partners(
             and fused_mlp_supported(params["lins"], int(q_h.shape[1]))
         )
         raw_scores = inner_dot or use_fused
-        if inner_dot and quant:
-            # Mirror the single-device engine's int8-codes dot (engine.py
-            # _topk_blocked): dot the int8 codes directly on the MXU int8
-            # path (int32-exact) and restore magnitudes with the rank-1
-            # scale grid — no dequantized candidate block ever materializes
-            # (4x less block traffic at exactly the table-doesn't-fit scale
-            # this path exists for).  The replicated queries arrive as
-            # DEQUANTIZED table rows; per-row absmax requantization recovers
-            # their original codes exactly (see quant.quantize_rows).
-            from llp_tpu.serve.quant import quantize_rows
-
-            q_codes, q_scale = quantize_rows(q_h)
 
         def block_scores(b0):
             gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)

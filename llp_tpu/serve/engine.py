@@ -405,8 +405,10 @@ def top_k_partners(
     (Q, block) score tile allows (blocked 'inner' scores as a block MATMUL
     and approx_max_k is wide-friendly, so fewer/taller blocks mean fewer
     merges — 26x measured on a 10M-row table,
-    scripts/serve_scale10m_blocks.py); 4096 otherwise (exact lax.top_k
-    degrades with tile width; 'mlp' is FLOP-bound).
+    scripts/serve_scale10m_blocks.py); 16384 for 'inner' exact (lax.top_k
+    degrades with tile width); 8192 for 'mlp' (XLA's reduce-epilogue
+    fusion keeps the head's hidden activation tile-resident up to b8192
+    and cliffs at b16384 — see the in-body rationale).
 
     ``h`` may be an int8 :class:`~llp_tpu.serve.quant.QuantTable`: 'inner'
     dots run directly on the int8 codes (MXU int8 path, int32-exact, no

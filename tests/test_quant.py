@@ -215,10 +215,13 @@ def test_requantize_dequantized_rows_exact(setup):
     np.testing.assert_allclose(np.asarray(s2), np.asarray(qt.scale), rtol=1e-7)
 
 
-def test_sharded_quantized_inner_matches_single_device(setup):
+@pytest.mark.parametrize("cdtype", [None, "bfloat16"])
+def test_sharded_quantized_inner_matches_single_device(setup, cdtype):
     """The sharded quantized 'inner' path dots int8 codes on-device (like the
     single-device engine) — scores and ids must match the single-device
-    int8 path exactly."""
+    int8 path exactly.  Including under compute_dtype=bf16: query
+    requantization must happen BEFORE the bf16 cast (a bf16 round-trip
+    flips codes by ±1 — round-3 review finding)."""
     from jax.sharding import Mesh
 
     from llp_tpu.serve.server import ServingState, ShardedServingState
@@ -227,13 +230,19 @@ def test_sharded_quantized_inner_matches_single_device(setup):
     devs = jax.devices()
     if len(devs) < 2:
         pytest.skip("needs a multi-device mesh")
+    cd = jnp.bfloat16 if cdtype == "bfloat16" else None
     mesh = Mesh(np.array(devs), ("data",))
     single = ServingState(preds["inner"], emb, mode="inner", quantize="int8",
                           block=32)
     shard = ShardedServingState(preds["inner"], emb, mesh, mode="inner",
-                                quantize="int8", block=32)
-    v1, i1 = single.topk(list(range(7)), 5)
-    v2, i2 = shard.topk(list(range(7)), 5)
+                                quantize="int8", block=32, compute_dtype=cd)
+    # Queries include rows whose dequantized values do NOT survive a bf16
+    # round-trip (rows 56/68/80 flip codes under requantize-after-cast for
+    # this fixture) — so the bf16 case FAILS if quantization runs after
+    # the compute_dtype cast.
+    qs = [0, 5, 56, 68, 80, 87, 93]
+    v1, i1 = single.topk(qs, 5)
+    v2, i2 = shard.topk(qs, 5)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
     np.testing.assert_array_equal(i1, i2)
 
