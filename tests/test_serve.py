@@ -307,3 +307,37 @@ def test_encode_nodes_batch_norm_checkpoint(setup):
     h = encode_nodes(enc, x, norm_type="batch", block=64)
     ref = apply_mlp(enc, x, train=False, norm_type="batch")[0]
     np.testing.assert_allclose(np.asarray(h), np.asarray(ref), atol=1e-5)
+
+
+def test_auto_block_policy(setup, monkeypatch):
+    """Guard the measured auto-block sizes: 'mlp' must stay at 8192 (XLA's
+    reduce-epilogue fusion cliffs at b16384 — 51.7 -> 191 ms at collab
+    scale, BASELINE.md round 3), 'inner' exact at 16384, 'inner'+approx at
+    the 256MB budget.  A well-meaning 'simplification' of these constants
+    regresses retrieval 2-4x."""
+    import llp_tpu.serve.engine as engine
+
+    x, enc, emb, preds = setup
+    captured = {}
+    real = engine._topk_blocked
+
+    def spy(params, h, qi, **kw):
+        captured.update(kw)
+        return real(params, h, qi, **kw)
+
+    monkeypatch.setattr(engine, "_topk_blocked", spy)
+    n = emb.shape[0]
+    qi = np.array([0, 1], np.int32)
+
+    top_k_partners(preds["mlp"], emb, qi, k=3, mode="mlp")
+    assert captured["block"] == min(8192, n)
+
+    top_k_partners(preds["inner"], emb, qi, k=3, mode="inner")
+    assert captured["block"] == min(16384, n)
+
+    # approx inner at tiny N routes single-pass; force the blocked path.
+    monkeypatch.setattr(engine, "_SINGLE_PASS_SCORE_BYTES", 0)
+    top_k_partners(preds["inner"], emb, qi, k=3, mode="inner", approx=True)
+    assert captured["block"] == min(
+        max(4096, engine._BLOCKED_SCORE_BYTES // (4 * len(qi))), n
+    )
