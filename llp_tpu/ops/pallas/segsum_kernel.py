@@ -44,7 +44,12 @@ DT = 256     # feature tile
 
 class BlockedSegsumLayout(NamedTuple):
     senders: jnp.ndarray    # (B*BE,) int32 — gather indices, padded with 0
-    local_ids: jnp.ndarray  # (B*BE, 1) int32 — window-local receiver, RMAX = pad
+    local_ids: jnp.ndarray  # (B8, BE) int32 — window-local receiver per block
+    #   slot, one ROW per block, rows padded to a multiple of 8 (RMAX-filled);
+    #   RMAX marks pad slots.  Lane-aligned rows: the original (B*BE, 1)
+    #   column layout tiled to T(8,128) with 128x padding — 3.34 GB x2 of
+    #   pure padding at 7M edges, found as an OOM at the round-3 1M-node
+    #   scale check.  The kernel reads 8-row tiles and selects row b % 8.
     block_r0: jnp.ndarray   # (B,) int32 — window base row (8-aligned)
     num_blocks: int
     n_out_pad: int          # out rows incl. window overhang
@@ -79,7 +84,7 @@ def build_blocked_layout(
     if e == 0:
         return BlockedSegsumLayout(
             jnp.zeros((BE,), jnp.int32),
-            jnp.full((BE, 1), RMAX, jnp.int32),
+            jnp.full((8, BE), RMAX, jnp.int32),
             jnp.zeros((1,), jnp.int32),
             1,
             n_out_pad,
@@ -116,7 +121,10 @@ def build_blocked_layout(
 
     return BlockedSegsumLayout(
         jnp.asarray(send_out),
-        jnp.asarray(local.reshape(-1, 1)),
+        jnp.asarray(np.concatenate(
+            [local.reshape(b, BE),
+             np.full(((-b) % 8, BE), RMAX, np.int32)]
+        )),
         jnp.asarray(r0s),
         b,
         n_out_pad,
@@ -129,17 +137,17 @@ def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
     b = pl.program_id(1)
     d = pl.program_id(0)
     nb = pl.num_programs(1)
-    lid = lid_ref[...]  # (BE, 1)
+    lid = lid_ref[pl.ds(b % 8, 1), :]  # (1, BE): this block's row of the tile
     valid = lid < RMAX
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BE, RMAX), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RMAX, BE), 0)
     # One-hot in the message dtype (0/1 are exact in bf16): bf16 messages run
     # the MXU at 2x fp32 rate and halve the msgs DMA; accumulation stays fp32
     # via preferred_element_type + the fp32 scratch window.
-    m = jnp.where((lid == lanes) & valid, 1.0, 0.0).astype(msgs_ref.dtype)
+    m = jnp.where((lid == rows) & valid, 1.0, 0.0).astype(msgs_ref.dtype)
     contrib = jax.lax.dot_general(
         m,
         msgs_ref[...],
-        (((0,), (0,)), ((), ())),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (RMAX, DT) fp32
     r0 = pl.multiple_of(r0_ref[b], 8)  # layout guarantees 8-aligned bases
@@ -173,7 +181,7 @@ def _segsum_call(local_ids, block_r0, msgs, *, num_blocks, n_out_pad, interpret)
         num_scalar_prefetch=1,
         grid=(d_pad // DT, num_blocks),
         in_specs=[
-            pl.BlockSpec((BE, 1), lambda d, b, r0s: (b, 0)),
+            pl.BlockSpec((8, BE), lambda d, b, r0s: (b // 8, 0)),
             pl.BlockSpec((BE, DT), lambda d, b, r0s: (b, d)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -449,10 +457,10 @@ class ShardedSegsumLayouts(NamedTuple):
     """
 
     fwd_senders: jnp.ndarray  # (P, Bf*BE) int32
-    fwd_local: jnp.ndarray    # (P, Bf*BE, 1) int32
+    fwd_local: jnp.ndarray    # (P, Bf8, BE) int32 (rows padded to 8)
     fwd_r0: jnp.ndarray       # (P, Bf) int32
     bwd_senders: jnp.ndarray  # (P, Bb*BE) int32 — gather indices (receivers)
-    bwd_local: jnp.ndarray    # (P, Bb*BE, 1) int32 — window-local senders
+    bwd_local: jnp.ndarray    # (P, Bb8, BE) int32 — window-local senders
     bwd_r0: jnp.ndarray       # (P, Bb) int32
     num_blocks_f: int         # static, max over shards
     num_blocks_b: int
@@ -470,8 +478,14 @@ def _pad_stack(layouts, num_blocks: int):
         r = np.asarray(lay.block_r0)
         if pad_b:
             s = np.concatenate([s, np.zeros((pad_b * BE,), np.int32)])
-            l = np.concatenate([l, np.full((pad_b * BE, 1), RMAX, np.int32)])
+            pass  # l re-padded to the stacked row count below
             r = np.concatenate([r, np.zeros((pad_b,), np.int32)])
+        rows = ((num_blocks + 7) // 8) * 8
+        if l.shape[0] != rows:
+            l = np.concatenate(
+                [l[: min(l.shape[0], rows)],
+                 np.full((max(0, rows - l.shape[0]), BE), RMAX, np.int32)]
+            )
         s_list.append(s)
         l_list.append(l)
         r_list.append(r)
