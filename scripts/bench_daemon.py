@@ -39,6 +39,9 @@ def time_requests(port, path, payload, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+sys.path.insert(0, "/root/repo")
+
+
 def main():
     import jax
     import jax.numpy as jnp
