@@ -70,3 +70,40 @@ def test_segsum_empty_segments():
     np.testing.assert_allclose(out[5], x[0] + x[1], atol=1e-6)
     np.testing.assert_allclose(out[900], x[2], atol=1e-6)
     assert np.abs(out).sum() == pytest.approx(np.abs(x[:3]).sum(), rel=1e-5)
+
+
+def test_layout_arrays_are_lane_aligned_not_column_shaped():
+    """Regression guard for the round-3 128x padding bug: the layout's
+    local_ids must be stored as lane-aligned (B8, BE) rows — a (B*BE, 1)
+    column would tile to T(8,128) on TPU with 128x padding (3.34 GB x2 of
+    pure padding at 7M edges; OOM found at the 1M-node scale check)."""
+    seg, send, _ = _sorted_problem(1000, 5000, 8)
+    lay = build_blocked_layout(seg, send, 1000)
+    # one row per block, rows padded to a multiple of 8, BE lanes
+    assert lay.local_ids.ndim == 2
+    assert lay.local_ids.shape[1] == BE
+    assert lay.local_ids.shape[0] % 8 == 0
+    assert lay.local_ids.shape[0] >= lay.num_blocks
+    # no persistent layout array may have a trailing singleton dim (the
+    # TPU tiles the last dim to 128 lanes: a (X, 1) store wastes 128x)
+    for name, arr in lay._asdict().items():
+        if hasattr(arr, "shape") and getattr(arr, "ndim", 0) >= 2:
+            assert arr.shape[-1] != 1, (name, arr.shape)
+    # unpadded bytes stay within ~2.2x of the edge count (pad rows + BE
+    # chunking slack), nowhere near the 128x padded regime
+    e_pad_slots = lay.num_blocks * BE
+    assert lay.local_ids.size <= e_pad_slots + 8 * BE
+
+
+def test_sharded_layout_arrays_lane_aligned():
+    from llp_tpu.core import build_graph
+    from llp_tpu.ops.pallas.segsum_kernel import build_shard_layouts
+
+    rng = np.random.default_rng(3)
+    ei = np.stack([rng.integers(0, 256, 4000), rng.integers(0, 256, 4000)])
+    g = build_graph(ei, 256)
+    lays = build_shard_layouts(g, 2)
+    for name in ("fwd_local", "bwd_local"):
+        arr = getattr(lays, name)
+        assert arr.ndim == 3 and arr.shape[-1] == BE, (name, arr.shape)
+        assert arr.shape[1] % 8 == 0
