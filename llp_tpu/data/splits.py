@@ -261,13 +261,20 @@ def do_production_edge_split(
     rng = np.random.default_rng(seed)
     edge_index = np.asarray(edge_index, dtype=np.int64)
 
-    # Global negatives: round(test_ratio * E / 2), force_undirected, i<j.
+    # Global negatives: round(test_ratio * E / 2) with force_undirected —
+    # PyG's force_undirected sampler draws num//2 unique i<j pairs and
+    # returns BOTH directions (2·(num//2) columns, each undirected negative
+    # twice).  Reproduced exactly: the production evaluator thresholds
+    # hits@K on this duplicated set (generate_production_split.py:46-47,
+    # train_teacher_gnn.py:169,219-223), so the duplication is part of the
+    # metric protocol (golden-gated in test_reference_golden.py).
     num_negatives = round(test_ratio * edge_index.shape[1] / 2)
     all_uniq = _unique_undirected(edge_index, num_nodes)
     all_keys = all_uniq[0] * num_nodes + all_uniq[1]
-    negative_samples = _sample_nonedges_upper(
-        rng, num_negatives, num_nodes, all_keys
+    neg_upper = _sample_nonedges_upper(
+        rng, num_negatives // 2, num_nodes, all_keys
     )
+    negative_samples = np.concatenate([neg_upper, neg_upper[::-1]], axis=1)
 
     # Step 1: old (train_mask) vs new (test_mask) nodes.
     n_new = int(round(val_node_ratio * num_nodes))

@@ -109,11 +109,19 @@ def test_production_split_structure():
     assert vk.isdisjoint(tk)
     assert ps.val_pos.shape == ps.val_neg.shape
 
-    # Global negatives avoid all original edges, i<j.
+    # Global negatives avoid all original edges. PyG force_undirected
+    # semantics (golden-gated vs the real reference run): num//2 unique
+    # pairs, BOTH directions returned — each undirected negative twice.
     gk = _keyset(ps.negative_samples, n)
     assert gk.isdisjoint(_keyset(ds.edge_index, n))
-    assert (ps.negative_samples[0] < ps.negative_samples[1]).all()
-    assert ps.negative_samples.shape[1] == round(0.3 * ds.edge_index.shape[1] / 2)
+    m = ps.negative_samples.shape[1] // 2
+    assert ps.negative_samples.shape[1] == 2 * (
+        round(0.3 * ds.edge_index.shape[1] / 2) // 2
+    )
+    np.testing.assert_array_equal(
+        ps.negative_samples[:, m:], ps.negative_samples[::-1, :m]
+    )
+    assert (ps.negative_samples[0, :m] < ps.negative_samples[1, :m]).all()
 
     # Inference graph contains the training message edges in original ids plus
     # old-new/new-new/old-old-val train edges; all test edges excluded.

@@ -115,8 +115,11 @@ def main():
 
 
 def _state_arrays(prefix, module):
+    # .copy() is load-bearing: .numpy() is a VIEW of the live parameter, and
+    # optimizer steps mutate parameters in place — a view captured "before
+    # training" would silently serialize post-training values at savez time.
     return {
-        f"{prefix}::sd::{k}": v.detach().numpy()
+        f"{prefix}::sd::{k}": v.detach().numpy().copy()
         for k, v in module.state_dict().items()
     }
 
