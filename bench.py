@@ -406,7 +406,9 @@ def main():
 
         # Round-3 regression gates: student + serving floors (TPU only —
         # the ms floors are chip measurements).  LLP_BENCH_GATES=0 skips.
-        if os.environ.get("LLP_BENCH_GATES", "1") != "0":
+        if os.environ.get("LLP_BENCH_GATES", "1") == "0":
+            extra["gates"] = "skipped"  # explicit: green vs not-run
+        else:
             stu = bench_student(COLD, ei_c, x_c)
             floor = GATE_FLOORS["student_bf16_edges_per_sec"]
             extra["student"] = {
@@ -420,6 +422,9 @@ def main():
                 extra["student"]["ok"]
                 and all(v["ok"] for v in extra["serving"].values())
             )
+    else:
+        # Warm-only invocation: the collab-scale gates need the cold problem.
+        extra["gates"] = "skipped"
 
     print(
         json.dumps(

@@ -1,7 +1,7 @@
 """Locality-improving node reordering (host-side, once per dataset).
 
 TPU kernels for sparse aggregation win when edges cluster into dense
-adjacency tiles (see ops/pallas/spmm_kernel.py).  Reverse Cuthill–McKee over
+adjacency tiles (see docs/archived/spmm_tile_kernel.py; tiling in data/tiles.py).  Reverse Cuthill–McKee over
 the undirected graph produces exactly that: neighbors get nearby ids, so the
 (receiver, sender) incidence concentrates near the diagonal.  The reorder is
 an isomorphism applied at dataset-load time — features, edges, splits, and

@@ -145,6 +145,11 @@ def _mlp_logits_call(q_h, cand, scales, flat_w, *, nw, quant, tq, tb,
     args = [q_h, cand]
     if quant:
         in_specs.append(
+            # (tb, 1) tiles to (tb, 128) in VMEM — the same trailing-lane
+            # padding class the segsum local_ids fix removed.  ACCEPTED here:
+            # tb<=1024 makes it <=512KB/block of VMEM (not HBM) and the scale
+            # column is read once per tile; do NOT copy this layout for
+            # larger or HBM-resident arrays.
             pl.BlockSpec((tb, 1), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM)
         )

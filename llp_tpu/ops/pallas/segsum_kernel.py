@@ -478,13 +478,14 @@ def _pad_stack(layouts, num_blocks: int):
         r = np.asarray(lay.block_r0)
         if pad_b:
             s = np.concatenate([s, np.zeros((pad_b * BE,), np.int32)])
-            pass  # l re-padded to the stacked row count below
             r = np.concatenate([r, np.zeros((pad_b,), np.int32)])
         rows = ((num_blocks + 7) // 8) * 8
         if l.shape[0] != rows:
+            # Per-shard rows are round8(b_i) <= round8(max): only padding is
+            # possible here; truncation would silently drop block rows.
+            assert l.shape[0] <= rows, (l.shape, rows)
             l = np.concatenate(
-                [l[: min(l.shape[0], rows)],
-                 np.full((max(0, rows - l.shape[0]), BE), RMAX, np.int32)]
+                [l, np.full((rows - l.shape[0], BE), RMAX, np.int32)]
             )
         s_list.append(s)
         l_list.append(l)

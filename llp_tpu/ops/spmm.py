@@ -19,7 +19,7 @@ Two implementations behind one interface:
 round 2; it never beat segsum in any measured regime — 28 ms vs 3.0 ms at
 LLP densities, RCM-reordered collab 1.7× WORSE (BASELINE.md) — and was
 retired from this dispatch surface in round 3.  The module remains as an
-archived experiment: :mod:`llp_tpu.ops.pallas.spmm_kernel`.)
+archived experiment: docs/archived/spmm_tile_kernel.py.)
 
 Semantics (matching torch_sparse.matmul over an adjacency whose values were
 stripped, i.e. binary weights):
@@ -101,7 +101,7 @@ def spmm(
             "impl='pallas' (blocked-tile kernel) was retired in round 3: it "
             "never beat the segsum kernel in any measured regime "
             "(BASELINE.md). Use impl='segsum' (TPU) or 'xla'; the archived "
-            "experiment lives in llp_tpu/ops/pallas/spmm_kernel.py."
+            "experiment lives in docs/archived/spmm_tile_kernel.py."
         )
     if impl != "xla":
         raise ValueError(f"unknown impl {impl!r}; expected one of {_IMPLS}")

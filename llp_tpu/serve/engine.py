@@ -332,6 +332,33 @@ _SINGLE_PASS_SCORE_BYTES = 1 << 30
 # max-size request cannot OOM on its (Q, block) fp32 tile.
 _BLOCKED_SCORE_BYTES = 256 << 20
 
+# 'mlp' retrieval block: XLA keeps the head's hidden activation tile-resident
+# (reduce-epilogue fusion) up to b8192 and falls off a CLIFF at b16384
+# (51.7 -> 191 ms at Q=256/N=235k — the round-2 "z1-traffic wall" was this
+# cliff, measured at b16k; scripts/bench_mlp_fused2.py block curve).  The
+# auto choice must stay STRICTLY below the cliff — pinned by
+# tests/test_serve.py::test_auto_topk_block_stays_below_mlp_cliff; the TPU
+# bench floor (bench.py extra.serving mlp_approx_235k_ms) is the hardware
+# backstop.
+MLP_TOPK_BLOCK = 8192
+MLP_BLOCK_CLIFF = 16384
+
+
+def auto_topk_block(mode: str, approx: bool, q_count: int) -> int:
+    """Auto block size for :func:`top_k_partners` (``block=None``).
+
+    'inner'+approx: tall matmul tiles — approx_max_k is wide-friendly, so
+    fewer merges win (25.4 ms at block=2M vs 672 at 65k on 10M rows),
+    bounded by the 256MB score-tile budget.  'inner' exact: 16384 (lax.top_k
+    degrades with width; 10.7 ms vs 23.4 at 4096 on 235k).  'mlp':
+    ``MLP_TOPK_BLOCK`` (see the cliff note above).
+    """
+    if mode == "inner" and approx:
+        return max(4096, _BLOCKED_SCORE_BYTES // (4 * max(1, q_count)))
+    if mode == "inner":
+        return 16384
+    return MLP_TOPK_BLOCK
+
 
 @functools.partial(
     jax.jit, static_argnames=("k", "exclude_self", "cdtype")
@@ -443,22 +470,7 @@ def top_k_partners(
             predictor_params["lins"], int(h.shape[1])
         )
     if block is None:
-        if mode == "inner" and approx:
-            # Tall matmul tiles: approx_max_k is wide-friendly, so fewer
-            # merges win (25.4 ms at block=2M vs 672 at 65k on 10M rows).
-            # EXACT lax.top_k degrades with width (a full-table top_k
-            # measured 116 ms) — exact keeps short tiles.
-            q_count = max(1, int(query_ids.shape[0]))
-            block = max(4096, _BLOCKED_SCORE_BYTES // (4 * q_count))
-        elif mode == "inner":
-            block = 16384  # exact: 10.7 ms vs 23.4 at 4096 (235k, measured)
-        else:
-            # 'mlp' tiles: XLA keeps the head's hidden activation
-            # tile-resident (reduce-epilogue fusion) up to b8192 and falls
-            # off a CLIFF at b16384 (51.7 -> 191 ms at 235k — the round-2
-            # "z1-traffic wall" was this cliff, measured at b16k;
-            # scripts/bench_mlp_fused2.py block curve).
-            block = 8192
+        block = auto_topk_block(mode, approx, int(query_ids.shape[0]))
     block = min(block, max(8, n))
     k = min(k, n - 1 if exclude_self else n)
     cdtype = None

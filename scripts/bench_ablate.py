@@ -19,7 +19,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from bench import BATCH, DIM, HIDDEN, N_NODES, build_problem  # noqa: E402
 from llp_tpu.core import build_graph  # noqa: E402
 from llp_tpu.models.encoder import apply_encoder, precompute_first_aggregation  # noqa: E402

@@ -39,7 +39,7 @@ def time_requests(port, path, payload, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 
 def main():

@@ -23,7 +23,7 @@ import jax.numpy as jnp  # noqa: E402
 
 log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from bench import BATCH, DIM, HIDDEN, N_NODES, build_problem  # noqa: E402
 from llp_tpu.core import build_graph  # noqa: E402
 from llp_tpu.ops.pallas.segsum_kernel import prepare_segsum  # noqa: E402

@@ -20,7 +20,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from bench import BATCH, DIM, HIDDEN, N_NODES  # noqa: E402
 from llp_tpu.models.predictor import apply_link_predictor  # noqa: E402
 from llp_tpu.ops.losses import bce_loss  # noqa: E402

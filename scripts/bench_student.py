@@ -31,7 +31,7 @@ log("importing jax...")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from llp_tpu.core import build_graph  # noqa: E402
 from llp_tpu.data.synthetic import community_features, sbm_graph  # noqa: E402
 from llp_tpu.train.student import init_student_params, make_student_epoch_fn  # noqa: E402

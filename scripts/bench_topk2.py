@@ -23,7 +23,7 @@ log("importing jax...")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from llp_tpu.models.mlp import init_mlp  # noqa: E402
 from llp_tpu.models.predictor import init_link_predictor  # noqa: E402
 from llp_tpu.serve import encode_nodes, top_k_partners  # noqa: E402

@@ -18,7 +18,7 @@ def log(msg):
 
 
 log("importing...")
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from llp_tpu.train.loop import run_student  # noqa: E402
 from llp_tpu.utils.config import StudentConfig  # noqa: E402
 

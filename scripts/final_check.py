@@ -13,7 +13,7 @@ def log(msg):
 
 
 log("importing...")
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import bench  # noqa: E402
 
 ei, x = bench.build_problem()

@@ -20,7 +20,7 @@ def log(msg):
     log_f.write(f"[{time.strftime('%H:%M:%S')}] {msg}\n")
 
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 log("=== phase 1: sweep_r3 ===")
 sys.argv = ["sweep_r3.py", OUT]

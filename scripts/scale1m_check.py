@@ -25,7 +25,7 @@ def log(msg):
 
 
 log("importing...")
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax  # noqa: E402
 
 log(f"devices: {jax.devices()}")

@@ -30,7 +30,7 @@ def log(msg):
 log("importing jax...")
 import jax  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 log(f"devices: {jax.devices()}")
 
 from llp_tpu.cli.sweep import run_sweep  # noqa: E402

@@ -30,7 +30,7 @@ def main():
         f"devices={jax.devices()} sum={v}")
 
     # --- bench.py, both scales (exactly what the driver runs) -------------
-    sys.path.insert(0, "/root/repo")
+    import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
     import bench
 
     log("bench: building warm problem...")

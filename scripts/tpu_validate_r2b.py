@@ -8,7 +8,7 @@ import json
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")  # background shells don't inherit the cwd
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root  # background shells don't inherit the cwd
 
 LOG = open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_validate_r2b.log",
            "a", buffering=1)

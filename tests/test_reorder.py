@@ -4,7 +4,7 @@ import numpy as np
 
 from llp_tpu.data.reorder import apply_order, rcm_order
 from llp_tpu.data.synthetic import community_features, sbm_graph
-from llp_tpu.ops.pallas.spmm_kernel import TILE, build_tiles
+from llp_tpu.data.tiles import TILE, build_tiles
 
 
 def test_rcm_is_permutation():

@@ -341,3 +341,26 @@ def test_auto_block_policy(setup, monkeypatch):
     assert captured["block"] == min(
         max(4096, engine._BLOCKED_SCORE_BYTES // (4 * len(qi))), n
     )
+
+
+def test_auto_topk_block_stays_below_mlp_cliff():
+    """Round-3 measurement: the 'mlp' retrieval path cliffs at block=16384
+    (51.7 -> 191 ms at Q=256/N=235k).  The auto choice must stay strictly
+    below the cliff for every gated shape, refactor-proof on CPU; the TPU
+    bench serving floor is the hardware backstop (VERDICT r3, weak #6)."""
+    from llp_tpu.serve.engine import (
+        MLP_BLOCK_CLIFF,
+        MLP_TOPK_BLOCK,
+        auto_topk_block,
+    )
+
+    assert MLP_TOPK_BLOCK < MLP_BLOCK_CLIFF
+    for q in (1, 16, 256, 4096):
+        assert auto_topk_block("mlp", False, q) < MLP_BLOCK_CLIFF
+        assert auto_topk_block("mlp", True, q) < MLP_BLOCK_CLIFF
+    # 'inner' invariants: exact keeps short tiles; approx grows as queries
+    # shrink but stays within the 256MB score-tile budget.
+    assert auto_topk_block("inner", False, 256) == 16384
+    for q in (1, 16, 256, 4096):
+        b = auto_topk_block("inner", True, q)
+        assert b >= 4096 and b * max(1, q) * 4 <= (256 << 20) + 4096 * q * 4
