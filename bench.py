@@ -82,6 +82,11 @@ GATE_FLOORS = {
     # mlp int8+bf16 approx measured 553 at the default block (r3).
     "inner_approx_10m_int8_ms": 60.0,
     "mlp_approx_10m_int8_ms": 900.0,
+    # HTTP daemon, 8 concurrent clients, inner approx+bf16 topk on the 242MB
+    # table: measured 52.2 req/s aggregate (r4, cross-request dynamic
+    # batching; single-client is ~12-16).  Floor 25 = a broken batcher,
+    # with 2x headroom for session variance.
+    "daemon_conc8_rps": 25.0,
 }
 
 
@@ -223,6 +228,56 @@ def bench_student(spec, ei: np.ndarray, x: np.ndarray) -> float:
     return 2 * e * epc / min(dts)
 
 
+def _bench_daemon_conc8(pred_inner, h1) -> dict:
+    """Aggregate req/s of the HTTP daemon at 8 concurrent clients (inner
+    approx+bf16 topk, Q=256, k=10) — the bounded-queue + dynamic-batching
+    design claim, gated. One warmup drive compiles the merged buckets."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from llp_tpu.serve.server import BackgroundServer, ServingState
+
+    n_total = int(h1.shape[0])
+    rng = np.random.default_rng(9)
+    payload = _json.dumps(
+        {"queries": rng.integers(0, n_total, 256).tolist(), "k": 10}
+    ).encode()
+
+    def drive(port, conc, per_client):
+        done = []
+
+        def client():
+            for _ in range(per_client):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/topk", data=payload,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    r.read()
+                done.append(1)
+
+        ts = [threading.Thread(target=client) for _ in range(conc)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return len(done) / (time.perf_counter() - t0)
+
+    state = ServingState(pred_inner, h1, mode="inner", approx=True,
+                         compute_dtype=jnp.bfloat16)
+    with BackgroundServer(state) as srv:
+        drive(srv.port, 1, 1)   # compile base bucket
+        drive(srv.port, 8, 2)   # compile merged buckets
+        rps = drive(srv.port, 8, 6)
+    floor = GATE_FLOORS["daemon_conc8_rps"]
+    return {"rps": round(rps, 2), "floor_rps": floor,
+            "ok": bool(rps >= floor)}
+
+
 def bench_serving() -> dict:
     """Serving retrieval gates, chained in-jit (single dispatches carry
     ~1.5-24 ms of axon tunnel latency — BASELINE.md protocol)."""
@@ -276,6 +331,13 @@ def bench_serving() -> dict:
           lambda qi, hp: top_k_partners(pred, hp, qi, k=k_top, mode="mlp",
                                         approx=True, compute_dtype=bf),
           h1, n1)
+
+    # Daemon under concurrent load (round-4 gate): 8 loopback clients on the
+    # HTTP daemon over the same 242MB table — cross-request dynamic batching
+    # measured 52 req/s aggregate at p95~165ms (scripts/
+    # r4_daemon_concurrency.py, BASELINE.md daemon-concurrency table);
+    # floor 25 catches a broken batcher (conc-1 rate is ~12-16).
+    out["daemon_conc8_rps"] = _bench_daemon_conc8(pred_inner, h1)
     del h1
 
     # 10M-row int8 table, built blockwise on device (fp32 never exceeds one

@@ -139,6 +139,10 @@ def main():
             rows = []
             for conc in (1, 2, 4, 8):
                 per_client = max(8, 32 // conc)
+                # warmup pass: merged-batch bucket shapes compile on first
+                # use (conc=4 merges 4x256 queries -> a new padded bucket);
+                # steady state is the second pass.
+                drive(srv.port, path, payload, conc, max(2, per_client // 4))
                 r = drive(srv.port, path, payload, conc, per_client)
                 rows.append(r)
                 log(f"{name} conc={conc}: {r['rps']:.2f} req/s "
