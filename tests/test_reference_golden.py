@@ -453,44 +453,61 @@ def test_golden_production_split_structure():
     assert not (gk & nk)
 
 
+def _meta_run(meta, file, *, encoder="sage", minibatch=False):
+    for r in meta["runs"]:
+        if (r["file"] == file and r["encoder"] == encoder
+                and r["minibatch"] == minibatch):
+            return r["metrics"]
+    raise KeyError((file, encoder, minibatch))
+
+
 # ------------------------------------------- genuine teacher artifact gates
 
 
-def test_golden_teacher_features_reproduce_exactly():
+@pytest.mark.parametrize("encoder", ["sage", "gcn"])
+def test_golden_teacher_features_reproduce_exactly(encoder):
     """Import the GENUINE saved-models pickle and re-encode the graph: the
     result must equal the GENUINE saved-features table (the reference saved
     h = model(x, adj_t) at its best-val epoch, train_teacher_gnn.py:446-452).
-    Exact cross-check of conv semantics + importer + artifact contract."""
+    Exact cross-check of conv semantics + importer + artifact contract,
+    for BOTH GNN teacher families the reference exports."""
     import torch
 
     from llp_tpu.core.graph import build_graph
-    from llp_tpu.data.import_reference import load_features_pickle
+    from llp_tpu.data.import_reference import (
+        load_features_pickle,
+        load_transductive_split_pickle,
+    )
+    from llp_tpu.models.gcn import apply_gcn
     from llp_tpu.models.sage import apply_sage
     from llp_tpu.utils.torch_import import import_teacher_state
 
     with np.load(os.path.join(GOLD, "data", "cora.npz")) as z:
-        x, _ = z["x"], z["edge_index"]
-    from llp_tpu.data.import_reference import load_transductive_split_pickle
-
+        x = z["x"]
     split = load_transductive_split_pickle(os.path.join(GOLD, "data", "cora.pkl"))
     graph = build_graph(split["train"]["edge"].T, x.shape[0])
 
     blob = torch.load(
-        os.path.join(GOLD, "saved-models", "cora-sage_transductive.pkl"),
+        os.path.join(GOLD, "saved-models", f"cora-{encoder}_transductive.pkl"),
         map_location="cpu", weights_only=False,
     )
-    params = import_teacher_state(blob, encoder="sage")
-    h = apply_sage(params["encoder"], graph, jnp.asarray(x), conv="sage")
+    params = import_teacher_state(blob, encoder=encoder)
+    if encoder == "sage":
+        h = apply_sage(params["encoder"], graph, jnp.asarray(x), conv="sage")
+    else:
+        h = apply_gcn(params["encoder"], graph, jnp.asarray(x))
     feats = load_features_pickle(
-        os.path.join(GOLD, "saved-features", "cora-sage_transductive.pkl")
+        os.path.join(GOLD, "saved-features", f"cora-{encoder}_transductive.pkl")
     )
     np.testing.assert_allclose(np.asarray(h), feats, atol=3e-5, rtol=1e-4)
 
 
-def test_golden_artifacts_drive_student_distillation(tmp_path):
+@pytest.mark.parametrize("minibatch", [False, True])
+def test_golden_artifacts_drive_student_distillation(tmp_path, minibatch):
     """Full switching path on GENUINE files: llp-import converts the
     reference's split + teacher pickles, run_student distills from them on
-    the same graph, and lands in the reference student's metric band."""
+    the same graph, and lands in the reference student's metric band —
+    full-batch AND the minibatch gathered-forward path (main.py:52-144)."""
     from llp_tpu.cli.import_reference import main as import_main
     from llp_tpu.train.loop import run_student
     from llp_tpu.utils.config import StudentConfig
@@ -509,11 +526,12 @@ def test_golden_artifacts_drive_student_distillation(tmp_path):
     cfg = StudentConfig(
         datasets="cora", dataset_dir=ddir, encoder="sage", runs=2, epochs=40,
         eval_steps=1, patience=100, hidden_channels=256, link_batch_size=1 << 16,
+        minibatch=minibatch,
         save_dir=sdir, results_dir=str(tmp_path / "results"),
     )
     stats, _ = run_student(cfg, verbose=False)
     meta = json.load(open(os.path.join(GOLD, "golden_meta.json")))
-    ref = meta["results"]["cora_KD_transductive.txt"]
+    ref = _meta_run(meta, "cora_KD_transductive.txt", minibatch=minibatch)
     # band: tiny-graph Hits are noisy (reference std ~3-9pp); AUC is stable
     assert stats["AUC"]["test"][0] == pytest.approx(ref["AUC"]["test_mean"], abs=6.0)
     assert stats["Hits@20"]["test"][0] == pytest.approx(
@@ -541,7 +559,7 @@ def test_golden_teacher_band_on_imported_split(tmp_path):
     )
     stats, _ = run_teacher(cfg, verbose=False)
     meta = json.load(open(os.path.join(GOLD, "golden_meta.json")))
-    ref = meta["results"]["cora_supervised_transductive.txt"]
+    ref = _meta_run(meta, "cora_supervised_transductive.txt")
     assert stats["AUC"]["test"][0] == pytest.approx(ref["AUC"]["test_mean"], abs=6.0)
     assert stats["Hits@20"]["test"][0] == pytest.approx(
         ref["Hits@20"]["test_mean"], abs=20.0

@@ -101,6 +101,14 @@ def main():
         os.path.join(REF, "main.py"),
         student_args + ["--transductive=production"],
     )
+    # Phase E: GCN teacher e2e (genuine cora-gcn_transductive checkpoint +
+    # features) and the student MINIBATCH path (main.py:52-144 —
+    # train_minibatch with the CPU-feature gather, .to("cuda") patched).
+    run_entry(
+        os.path.join(REF, "train_teacher_gnn.py"),
+        [a if a != "--encoder=sage" else "--encoder=gcn" for a in teacher_args],
+    )
+    run_entry(os.path.join(REF, "main.py"), student_args + ["--minibatch"])
 
     os.chdir(GOLD)
     export_model_goldens()
@@ -353,29 +361,49 @@ def export_eval_goldens():
 
 
 def export_meta():
-    meta = {"graph": "cora tiny (refshim SBM, N=300)", "results": {}}
+    """Parse the appended results files into per-RUN entries.
+
+    A results file holds one ``Namespace(...)`` header + one ``All runs:``
+    block per reference invocation (several runs share a file — e.g. the
+    sage AND gcn teachers both append to cora_supervised_transductive.txt);
+    each run is recorded with enough of its argument string to select on.
+    """
+    meta = {"graph": "cora tiny (refshim SBM, N=300)", "runs": []}
     resdir = os.path.join(GOLD, "results")
     for fn in sorted(os.listdir(resdir)):
         txt = open(os.path.join(resdir, fn)).read()
-        entries = {}
-        # transductive: "Hits@20:\nTest: 48.1250 ± 2.5769"
-        for m in re.finditer(r"(Hits@\d+|AUC):\nTest: ([\d.]+) ± ([\d.]+)", txt):
-            entries[m.group(1)] = {"test_mean": float(m.group(2)), "test_std": float(m.group(3))}
-        # production: "Hits@20:\n  Final val: .. ± ..   Final Test: .. ± .." etc.
-        for m in re.finditer(
-            r"(Hits@\d+|AUC):\n\s*Final val: ([\d.]+) ± ([\d.]+)\s*Final Test: ([\d.]+) ± ([\d.]+)\s*"
-            r"Final old_old: ([\d.]+) ± ([\d.]+)\s*Final old_new: ([\d.]+) ± ([\d.]+)\s*Final new_new: ([\d.]+) ± ([\d.]+)",
-            txt,
-        ):
-            entries[m.group(1)] = {
-                "val_mean": float(m.group(2)), "test_mean": float(m.group(4)),
-                "old_old_mean": float(m.group(6)), "old_new_mean": float(m.group(8)),
-                "new_new_mean": float(m.group(10)),
-            }
-        meta["results"][fn] = entries
+        segments = re.split(r"(?=Namespace\()", txt)
+        for seg in segments:
+            if not seg.startswith("Namespace("):
+                continue
+            entries = {}
+            for m in re.finditer(r"(Hits@\d+|AUC):\nTest: ([\d.]+) ± ([\d.]+)", seg):
+                entries[m.group(1)] = {
+                    "test_mean": float(m.group(2)),
+                    "test_std": float(m.group(3)),
+                }
+            for m in re.finditer(
+                r"(Hits@\d+|AUC):\n\s*Final val: ([\d.]+) ± ([\d.]+)\s*Final Test: ([\d.]+) ± ([\d.]+)\s*"
+                r"Final old_old: ([\d.]+) ± ([\d.]+)\s*Final old_new: ([\d.]+) ± ([\d.]+)\s*Final new_new: ([\d.]+) ± ([\d.]+)",
+                seg,
+            ):
+                entries[m.group(1)] = {
+                    "val_mean": float(m.group(2)), "test_mean": float(m.group(4)),
+                    "old_old_mean": float(m.group(6)), "old_new_mean": float(m.group(8)),
+                    "new_new_mean": float(m.group(10)),
+                }
+            if entries:
+                meta["runs"].append({
+                    "file": fn,
+                    "args": seg[: seg.index(")") + 1],
+                    "minibatch": "minibatch=True" in seg,
+                    "encoder": re.search(r"encoder='(\w+)'", seg).group(1),
+                    "metrics": entries,
+                })
     with open(os.path.join(GOLD, "golden_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    print("golden_meta.json:", json.dumps(meta["results"], indent=1)[:600])
+    print("golden_meta.json runs:",
+          [(r["file"], r["encoder"], r["minibatch"]) for r in meta["runs"]])
 
 
 if __name__ == "__main__":
