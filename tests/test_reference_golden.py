@@ -564,3 +564,46 @@ def test_golden_teacher_band_on_imported_split(tmp_path):
     assert stats["Hits@20"]["test"][0] == pytest.approx(
         ref["Hits@20"]["test_mean"], abs=20.0
     )
+
+
+def test_golden_production_band_on_imported_artifacts(tmp_path):
+    """Production-setting closing of the loop on GENUINE files: import the
+    reference's production 6-tuple AND its production teacher checkpoint,
+    train/evaluate llp_tpu in the production protocol on the identical
+    split, and land in the reference's own metric bands
+    (cora_supervised_production / cora_KD_production)."""
+    from llp_tpu.cli.import_reference import main as import_main
+    from llp_tpu.train.loop import run_student, run_teacher
+    from llp_tpu.utils.config import StudentConfig, TeacherConfig
+
+    ddir = str(tmp_path / "data")
+    sdir = str(tmp_path / "saved")
+    import_main([
+        "--datasets=cora", f"--dataset_dir={ddir}", f"--save_dir={sdir}",
+        f"--production_pkl={os.path.join(GOLD, 'data', 'cora_production.pkl')}",
+        f"--models_pkl={os.path.join(GOLD, 'saved-models', 'cora-sage_production.pkl')}",
+        f"--features_pkl={os.path.join(GOLD, 'saved-features', 'cora-sage_production.pkl')}",
+        "--encoder=sage", "--transductive=production",
+    ])
+    meta = json.load(open(os.path.join(GOLD, "golden_meta.json")))
+
+    tcfg = TeacherConfig(
+        datasets="cora", dataset_dir=ddir, transductive="production",
+        encoder="sage", runs=2, epochs=60, eval_steps=1, patience=100,
+        hidden_channels=256, batch_size=1 << 16,
+        save_dir=str(tmp_path / "tsaved"), results_dir=str(tmp_path / "results"),
+    )
+    tstats, _ = run_teacher(tcfg, verbose=False)
+    ref_t = _meta_run(meta, "cora_supervised_production.txt")
+    assert tstats["AUC"]["test"][0] == pytest.approx(ref_t["AUC"]["test_mean"], abs=7.0)
+    assert tstats["AUC"]["val"][0] == pytest.approx(ref_t["AUC"]["val_mean"], abs=7.0)
+
+    scfg = StudentConfig(
+        datasets="cora", dataset_dir=ddir, transductive="production",
+        encoder="sage", runs=2, epochs=40, eval_steps=1, patience=100,
+        hidden_channels=256, link_batch_size=1 << 16, save_dir=sdir,
+        results_dir=str(tmp_path / "results"),
+    )
+    sstats, _ = run_student(scfg, verbose=False)
+    ref_s = _meta_run(meta, "cora_KD_production.txt")
+    assert sstats["AUC"]["test"][0] == pytest.approx(ref_s["AUC"]["test_mean"], abs=7.0)
