@@ -247,7 +247,7 @@ def _bench_daemon_conc8(pred_inner, h1) -> dict:
     ).encode()
 
     def drive(port, conc, per_client):
-        done = []
+        done, errors = [], []
 
         def client():
             for _ in range(per_client):
@@ -255,8 +255,14 @@ def _bench_daemon_conc8(pred_inner, h1) -> dict:
                     f"http://127.0.0.1:{port}/v1/topk", data=payload,
                     headers={"Content-Type": "application/json"},
                 )
-                with urllib.request.urlopen(req, timeout=600) as r:
-                    r.read()
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        r.read()
+                except Exception as exc:  # noqa: BLE001 - a dead thread
+                    # would silently deflate the measured rate; record and
+                    # keep driving so the gate output shows WHY it failed.
+                    errors.append(repr(exc))
+                    continue
                 done.append(1)
 
         ts = [threading.Thread(target=client) for _ in range(conc)]
@@ -265,17 +271,20 @@ def _bench_daemon_conc8(pred_inner, h1) -> dict:
             t.start()
         for t in ts:
             t.join()
-        return len(done) / (time.perf_counter() - t0)
+        return len(done) / (time.perf_counter() - t0), errors
 
     state = ServingState(pred_inner, h1, mode="inner", approx=True,
                          compute_dtype=jnp.bfloat16)
     with BackgroundServer(state) as srv:
         drive(srv.port, 1, 1)   # compile base bucket
         drive(srv.port, 8, 2)   # compile merged buckets
-        rps = drive(srv.port, 8, 6)
+        rps, errors = drive(srv.port, 8, 6)
     floor = GATE_FLOORS["daemon_conc8_rps"]
-    return {"rps": round(rps, 2), "floor_rps": floor,
-            "ok": bool(rps >= floor)}
+    out = {"rps": round(rps, 2), "floor_rps": floor,
+           "ok": bool(rps >= floor and not errors)}
+    if errors:
+        out["errors"] = errors[:4]
+    return out
 
 
 def bench_serving() -> dict:

@@ -429,19 +429,12 @@ def make_sharded_topk_partners(
                 h_shard = h_shard.astype(compute_dtype)
         nl = h_shard.shape[0]
         if block is None:
-            # Auto tile height (llp_tpu.serve.engine semantics): 'inner'+
-            # approx scores blocks as matmuls and approx_max_k is wide-
-            # friendly — taller blocks mean fewer merges; bound the
-            # (Q, blk) fp32 score tile at 256MB.  Exact lax.top_k degrades
-            # with width — short tiles there.
-            if mode == "inner" and approx:
-                blk = max(4096, (256 << 20) // (4 * max(1, q_h.shape[0])))
-            elif mode == "inner":
-                blk = 16384  # exact merges: measured best at 235k
-            else:
-                # 'mlp': XLA's reduce-epilogue fusion holds to b8192 and
-                # cliffs at b16384 (llp_tpu.serve.engine block rationale).
-                blk = 8192
+            # ONE auto-block policy for single-chip and sharded retrieval:
+            # llp_tpu.serve.engine.auto_topk_block (the mlp 16384-cliff pin
+            # in test_serve.py protects this path too).
+            from llp_tpu.serve.engine import auto_topk_block
+
+            blk = auto_topk_block(mode, approx, int(q_h.shape[0]))
         else:
             blk = block
         blk = min(blk, nl)

@@ -29,13 +29,20 @@ def _generate_tiny_graph(llp_name: str, n=300, k=4, d=32, p_in=0.10, p_out=0.004
     keep = rng.random(iu.shape[0]) < p
     r, c = iu[keep], ju[keep]
     # guarantee no isolated nodes (link prediction on a tiny graph is noisy
-    # enough already): chain any degree-0 node to a same-community buddy
+    # enough already): chain any degree-0 node to a same-community buddy.
+    # deg updates inside the loop: two isolated same-community nodes that
+    # pick each other must not append the pair twice (the coalesce claim
+    # below depends on uniqueness).
     deg = np.bincount(np.concatenate([r, c]), minlength=n)
     for v in np.nonzero(deg == 0)[0]:
+        if deg[v] > 0:
+            continue
         buddies = np.nonzero((comm == comm[v]) & (np.arange(n) != v))[0]
         u = int(buddies[rng.integers(0, buddies.shape[0])])
         r = np.append(r, min(u, v))
         c = np.append(c, max(u, v))
+        deg[v] += 1
+        deg[u] += 1
     # coalesced symmetric edge_index
     row = np.concatenate([r, c])
     col = np.concatenate([c, r])
