@@ -261,13 +261,23 @@ def test_golden_teacher_loss_trajectory(losses_npz, tag):
     np.testing.assert_allclose(got, z[f"teacher_{tag}::losses"], rtol=2e-4, atol=2e-5)
 
 
-def test_golden_student_loss_trajectory(losses_npz):
+@pytest.mark.parametrize(
+    "tag,kd_rm,kd_lm", [("student", 0.0, 0.0), ("student_kd", 0.3, 0.3)]
+)
+def test_golden_student_loss_trajectory(losses_npz, tag, kd_rm, kd_lm):
     """3 steps of the reference's own student loop (main.py:147-236: LLP_D KL
-    + LLP_R margin-rank over the C(C,2) pair table + 0.1·BCE; fixed context
+    + LLP_R margin-rank over the C(C,2) pair table + 0.1·BCE, plus the
+    KD_RM cosine / KD_LM MSE baselines in the second config; fixed context
     samples and negatives, dropout=0) vs our full student loss stack."""
     from llp_tpu.models.mlp import apply_mlp
     from llp_tpu.models.predictor import apply_link_predictor
-    from llp_tpu.ops.losses import bce_loss, kl_div_loss, margin_rank_loss
+    from llp_tpu.ops.losses import (
+        bce_loss,
+        cosine_loss,
+        kl_div_loss,
+        margin_rank_loss,
+        mse_loss,
+    )
     from llp_tpu.train.optim import adam_init
     from llp_tpu.train.student import pair_table
     from llp_tpu.utils.torch_import import import_link_predictor, import_mlp
@@ -300,9 +310,11 @@ def test_golden_student_loss_trajectory(losses_npz):
     )
 
     params = {
-        "model": import_mlp(_sd(z, "student::model0"), 2),
-        "predictor": import_link_predictor(_sd(z, "student::pred0"), 2),
+        "model": import_mlp(_sd(z, f"{tag}::model0"), 2),
+        "predictor": import_link_predictor(_sd(z, f"{tag}::pred0"), 2),
     }
+    t_out = apply_link_predictor(tpred, t_h[src], t_h[dst], mode="mlp")
+    all_nodes = jnp.arange(x.shape[0])
 
     def loss_fn(p):
         h = apply_mlp(p["model"], x)
@@ -313,14 +325,19 @@ def test_golden_student_loss_trajectory(losses_npz):
         llp_r = margin_rank_loss(s_r[:, p0], s_r[:, p1], targets, margin)
         out = apply_link_predictor(p["predictor"], h[src], h[dst], mode="mlp")
         label = bce_loss(out, labels)
-        return 0.1 * label + 1.0 * llp_d + 1.0 * llp_r
+        total = 0.1 * label + 1.0 * llp_d + 1.0 * llp_r
+        if kd_rm:
+            total = total + kd_rm * cosine_loss(h[all_nodes], t_h[all_nodes])
+        if kd_lm:
+            total = total + kd_lm * mse_loss(out, t_out)
+        return total
 
     tx, st = adam_init(params, float(z["lr"]))
     got = []
     for _ in range(3):
         l, params, st = _adam_group_step(jax.jit(loss_fn), params, tx, st)
         got.append(l)
-    np.testing.assert_allclose(got, z["student::losses"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, z[f"{tag}::losses"], rtol=2e-4, atol=2e-5)
 
 
 # ------------------------------------------------------------ split parity

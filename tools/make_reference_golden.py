@@ -332,6 +332,27 @@ def export_loss_goldens():
     ]
     out["student::losses"] = np.array(losses)
 
+    # Second trajectory with the KD_RM (cosine) and KD_LM (MSE) baselines
+    # ACTIVE (main.py:220): node_batch_size=N makes the cosine term's
+    # node_perm a full permutation, so the mean is order-invariant and the
+    # trajectory stays deterministic.
+    args_kd = argparse.Namespace(**{**vars(args), "KD_RM": 0.3, "KD_LM": 0.3})
+    seed_everything(202)
+    model2 = MLP(2, D, H, H, 0.0)
+    pred2 = LinkPredictor("mlp", H, H, 1, 2, 0.0)
+    out.update(_state_arrays("student_kd::model0", model2))
+    out.update(_state_arrays("student_kd::pred0", pred2))
+    opt2 = torch.optim.Adam(
+        list(model2.parameters()) + list(pred2.parameters()), lr=0.005
+    )
+    torch.manual_seed(125)
+    losses2 = [
+        ns["train"](model2, pred2, t_h, tpred, data, split, opt2, args_kd,
+                    torch.device("cpu"))
+        for _ in range(3)
+    ]
+    out["student_kd::losses"] = np.array(losses2)
+
     np.savez_compressed(os.path.join(GOLD, "golden_losses.npz"), **out)
     print("golden_losses.npz:", {k: v for k, v in out.items() if k.endswith("losses")})
 
