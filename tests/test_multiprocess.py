@@ -91,6 +91,59 @@ def _run_trajectory(mesh):
     return losses
 
 
+def _run_halo_trajectory(mesh):
+    """2 halo (feature-sharded) teacher EPOCHS on ``mesh``: the all_to_all
+    boundary exchange crosses a REAL process boundary on the 2-process
+    global mesh — the strongest halo-path evidence available without
+    multi-chip hardware."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llp_tpu.core import build_graph
+    from llp_tpu.parallel.epoch import make_halo_teacher_epoch_fn
+    from llp_tpu.parallel.halo import build_halo_partition, pad_nodes
+    from llp_tpu.train.teacher import init_teacher_params
+
+    src, dst, in_deg, x, pos, _ = _problem()
+    graph = build_graph(np.stack([src, dst]), N)
+    part = build_halo_partition(graph, 8)
+
+    def put(host, spec, dtype):
+        host = np.asarray(host, dtype)
+        return jax.make_array_from_callback(
+            host.shape, NamedSharding(mesh, spec), lambda idx: host[idx]
+        )
+
+    xs = put(np.asarray(pad_nodes(x, part)), P("data"), np.float32)
+    degs = put(
+        np.asarray(pad_nodes(np.asarray(graph.in_degree), part)),
+        P("data"), np.float32,
+    )
+    posd = put(pos, P("data"), np.int32)
+    dummy = put(np.zeros(1, np.int32), P(), np.int32)
+
+    hep_fn, tx = make_halo_teacher_epoch_fn(
+        mesh, part, dropout=0.0, num_nodes=N, num_pos_edges=B,
+        link_batch_size=B, neg_mode="uniform", lr=0.01,
+    )
+    params = jax.tree_util.tree_map(
+        lambda a: put(np.asarray(a), P(), a.dtype),
+        init_teacher_params(
+            jax.random.PRNGKey(1), encoder="sage", in_channels=DIM,
+            hidden_channels=HID, num_layers=2, predictor_mode="mlp",
+        ),
+    )
+    opt_state = tx.init(params)
+    losses = []
+    for i in range(2):
+        params, opt_state, loss = hep_fn(
+            params, opt_state, jax.random.PRNGKey(200 + i), xs, degs, posd,
+            dummy,
+        )
+        losses.append(float(loss))
+    return losses
+
+
 def _worker(pid: int, port: int, out: str) -> None:
     import jax
 
@@ -102,7 +155,7 @@ def _worker(pid: int, port: int, out: str) -> None:
     from jax.sharding import Mesh
 
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
-    losses = _run_trajectory(mesh)
+    losses = _run_trajectory(mesh) + _run_halo_trajectory(mesh)
     if pid == 0:
         np.save(out, np.asarray(losses))
 
@@ -143,7 +196,7 @@ def test_two_process_dp_teacher_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=240)
+            stdout, _ = p.communicate(timeout=360)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -152,7 +205,8 @@ def test_two_process_dp_teacher_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{stdout[-3000:]}"
 
     got = np.load(out)
-    ref = _run_trajectory(Mesh(np.asarray(jax.devices()[:8]), ("data",)))
+    mesh1 = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    ref = _run_trajectory(mesh1) + _run_halo_trajectory(mesh1)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
