@@ -624,3 +624,85 @@ def test_golden_production_band_on_imported_artifacts(tmp_path):
     sstats, _ = run_student(scfg, verbose=False)
     ref_s = _meta_run(meta, "cora_KD_production.txt")
     assert sstats["AUC"]["test"][0] == pytest.approx(ref_s["AUC"]["test_mean"], abs=7.0)
+
+
+def test_golden_transductive_eval_protocol_exact():
+    """The reference's own test_transductive (train_teacher_gnn.py:76-155)
+    with the GENUINE checkpoint is deterministic — our transductive
+    evaluator must reproduce every Hits@K/AUC number on the same split."""
+    import torch
+
+    from llp_tpu.core.graph import build_graph
+    from llp_tpu.data.import_reference import load_transductive_split_pickle
+    from llp_tpu.evaln.transductive import make_transductive_eval_fn
+    from llp_tpu.utils.torch_import import import_teacher_state
+
+    with np.load(os.path.join(GOLD, "golden_eval_protocol.npz")) as zp:
+        gold = dict(zp)
+    with np.load(os.path.join(GOLD, "data", "cora.npz")) as z:
+        x = z["x"]
+    split = load_transductive_split_pickle(os.path.join(GOLD, "data", "cora.pkl"))
+    graph = build_graph(split["train"]["edge"].T, x.shape[0])
+    blob = torch.load(
+        os.path.join(GOLD, "saved-models", "cora-sage_transductive.pkl"),
+        map_location="cpu", weights_only=False,
+    )
+    params = import_teacher_state(blob, encoder="sage")
+    eval_fn = make_transductive_eval_fn(encoder="sage")
+    e = lambda a: jnp.asarray(a.astype(np.int32))
+    results, h = eval_fn(
+        params, graph, jnp.asarray(x),
+        e(split["valid"]["edge"]), e(split["valid"]["edge_neg"]),
+        e(split["test"]["edge"]), e(split["test"]["edge_neg"]),
+    )
+    np.testing.assert_allclose(np.asarray(h), gold["trans::h"], atol=3e-5, rtol=1e-4)
+    for k in ("Hits@10", "Hits@20", "Hits@30", "Hits@50", "AUC"):
+        got = np.asarray(jax.tree_util.tree_map(float, results[k]))
+        # fp32 reassociation can flip a strict score>threshold comparison on
+        # near-ties: allow one flipped positive per metric (1/M) on Hits.
+        tol = 2e-5 if k == "AUC" else 1.0 / 60 + 1e-6
+        np.testing.assert_allclose(got, gold[f"trans::{k}"], atol=tol, err_msg=k)
+
+
+def test_golden_production_eval_protocol_exact():
+    """Reference test_production (train_teacher_gnn.py:157-268) 5-tuples
+    (val/test/old-old/old-new/new-new vs one shared negative set) from the
+    GENUINE production checkpoint, reproduced exactly by our production
+    evaluator on the imported 6-tuple."""
+    import torch
+
+    from llp_tpu.core.graph import build_graph
+    from llp_tpu.data.import_reference import load_production_split_pickle
+    from llp_tpu.evaln.production import make_production_eval_fn
+    from llp_tpu.utils.torch_import import import_teacher_state
+
+    with np.load(os.path.join(GOLD, "golden_eval_protocol.npz")) as zp:
+        gold = dict(zp)
+    ps, _, _ = load_production_split_pickle(
+        os.path.join(GOLD, "data", "cora_production.pkl")
+    )
+    blob = torch.load(
+        os.path.join(GOLD, "saved-models", "cora-sage_production.pkl"),
+        map_location="cpu", weights_only=False,
+    )
+    params = import_teacher_state(blob, encoder="sage")
+    val_graph = build_graph(ps.val_edge_index, ps.val_x.shape[0])
+    inf_graph = build_graph(ps.inference_edge_index, ps.inference_x.shape[0])
+    eval_fn = make_production_eval_fn(encoder="sage")
+    e = lambda a: jnp.asarray(a.T.astype(np.int32))
+    test_edges = {
+        "merged": e(ps.test_merged), "old_old": e(ps.test_old_old),
+        "old_new": e(ps.test_old_new), "new_new": e(ps.test_new_new),
+        "neg": e(ps.negative_samples),
+    }
+    results, h_val = eval_fn(
+        params, val_graph, jnp.asarray(ps.val_x), inf_graph,
+        jnp.asarray(ps.inference_x), e(ps.val_pos), e(ps.val_neg), test_edges,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_val), gold["prod::h_val"], atol=3e-5, rtol=1e-4
+    )
+    for k in ("Hits@10", "Hits@20", "Hits@30", "Hits@50", "AUC"):
+        got = np.asarray(jax.tree_util.tree_map(float, results[k]))
+        tol = 2e-5 if k == "AUC" else 1.0 / 50 + 1e-6
+        np.testing.assert_allclose(got, gold[f"prod::{k}"], atol=tol, err_msg=k)

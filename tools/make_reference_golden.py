@@ -114,6 +114,7 @@ def main():
     export_model_goldens()
     export_loss_goldens()
     export_eval_goldens()
+    export_eval_protocol_goldens()
     export_meta()
     shutil.rmtree(src_cwd, ignore_errors=True)
     print("\ngolden artifacts written to", GOLD)
@@ -376,6 +377,68 @@ def export_eval_goldens():
     s = np.concatenate([pos.numpy(), neg.numpy()])
     out["auc"] = np.float64(roc_auc_score(y, s))
     np.savez_compressed(os.path.join(GOLD, "golden_eval.npz"), **out)
+
+
+def export_eval_protocol_goldens():
+    """EXACT evaluation-protocol goldens: the reference's own
+    ``test_transductive`` / ``test_production`` (train_teacher_gnn.py:76-268)
+    driven with the GENUINE saved checkpoints in eval mode — deterministic,
+    so llp_tpu's evaluators must reproduce every Hits@K/AUC number."""
+    import argparse
+
+    import train_teacher_gnn as T
+    from models import SAGE, LinkPredictor
+    from ogb.linkproppred import Evaluator
+    from torch_geometric.data import Data
+    from torch_geometric.nn import SAGEConv
+
+    out = {}
+    z = np.load(os.path.join(GOLD, "data", "cora.npz"))
+    x = torch.from_numpy(z["x"])
+    D, H = x.size(1), 256
+    ev = Evaluator("ogbl-ddi")
+
+    def load_pair(tag):
+        blob = torch.load(os.path.join(GOLD, "saved-models", f"cora-sage_{tag}.pkl"))
+        model = SAGE("cora", D, H, H, 2, 0.0, SAGEConv)
+        model.load_state_dict(blob["gnn"])
+        pred = LinkPredictor("mlp", H, H, 1, 2, 0.0)
+        pred.load_state_dict(blob["predictor"])
+        model.eval()
+        pred.eval()
+        return model, pred
+
+    # transductive protocol
+    split = torch.load(os.path.join(GOLD, "data", "cora.pkl"))
+    model, pred = load_pair("transductive")
+    data = Data(x=x)
+    data.adj_t = split["train"]["edge"].t()
+    args = argparse.Namespace(minibatch=False)
+    with torch.no_grad():
+        results, h = T.test_transductive(
+            model, pred, data, split, ev, 1 << 16, "sage", "cora", args
+        )
+    for k, v in results.items():
+        out[f"trans::{k}"] = np.asarray(v, np.float64)
+    out["trans::h"] = h.detach().numpy()
+
+    # production protocol (5-tuples vs the shared negative set)
+    model_p, pred_p = load_pair("production")
+    tr_d, val_d, inf_d, _, bundle, negs = torch.load(
+        os.path.join(GOLD, "data", "cora_production.pkl")
+    )
+    with torch.no_grad():
+        results_p, h_p = T.test_production(
+            model_p, pred_p, val_d, inf_d, bundle, negs, ev, 1 << 16,
+            "sage", "cora",
+        )
+    for k, v in results_p.items():
+        out[f"prod::{k}"] = np.asarray(v, np.float64)
+    out["prod::h_val"] = h_p.detach().numpy()
+
+    np.savez_compressed(os.path.join(GOLD, "golden_eval_protocol.npz"), **out)
+    print("golden_eval_protocol.npz:",
+          {k: out[k].tolist() for k in ("trans::AUC", "prod::AUC")})
 
 
 # --------------------------------------------------------------------- meta
