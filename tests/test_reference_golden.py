@@ -470,12 +470,13 @@ def test_golden_production_split_structure():
     assert not (gk & nk)
 
 
-def _meta_run(meta, file, *, encoder="sage", minibatch=False):
+def _meta_run(meta, file, *, encoder="sage", minibatch=False, ps_method=None):
     for r in meta["runs"]:
         if (r["file"] == file and r["encoder"] == encoder
-                and r["minibatch"] == minibatch):
+                and r["minibatch"] == minibatch
+                and (ps_method is None or r.get("ps_method") in (None, ps_method))):
             return r["metrics"]
-    raise KeyError((file, encoder, minibatch))
+    raise KeyError((file, encoder, minibatch, ps_method))
 
 
 # ------------------------------------------- genuine teacher artifact gates
@@ -519,12 +520,16 @@ def test_golden_teacher_features_reproduce_exactly(encoder):
     np.testing.assert_allclose(np.asarray(h), feats, atol=3e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("minibatch", [False, True])
-def test_golden_artifacts_drive_student_distillation(tmp_path, minibatch):
+@pytest.mark.parametrize(
+    "minibatch,ps_method",
+    [(False, "nb"), (True, "nb"), (False, "rw")],
+)
+def test_golden_artifacts_drive_student_distillation(tmp_path, minibatch, ps_method):
     """Full switching path on GENUINE files: llp-import converts the
     reference's split + teacher pickles, run_student distills from them on
     the same graph, and lands in the reference student's metric band —
-    full-batch AND the minibatch gathered-forward path (main.py:52-144)."""
+    full-batch, the minibatch gathered-forward path (main.py:52-144), and
+    the ps_method='rw' long-walk sampler (main.py:36-38)."""
     from llp_tpu.cli.import_reference import main as import_main
     from llp_tpu.train.loop import run_student
     from llp_tpu.utils.config import StudentConfig
@@ -543,12 +548,15 @@ def test_golden_artifacts_drive_student_distillation(tmp_path, minibatch):
     cfg = StudentConfig(
         datasets="cora", dataset_dir=ddir, encoder="sage", runs=2, epochs=40,
         eval_steps=1, patience=100, hidden_channels=256, link_batch_size=1 << 16,
-        minibatch=minibatch,
+        minibatch=minibatch, ps_method=ps_method,
         save_dir=sdir, results_dir=str(tmp_path / "results"),
     )
     stats, _ = run_student(cfg, verbose=False)
     meta = json.load(open(os.path.join(GOLD, "golden_meta.json")))
-    ref = _meta_run(meta, "cora_KD_transductive.txt", minibatch=minibatch)
+    ref = _meta_run(
+        meta, "cora_KD_transductive.txt", minibatch=minibatch,
+        ps_method=ps_method,
+    )
     # band: tiny-graph Hits are noisy (reference std ~3-9pp); AUC is stable
     assert stats["AUC"]["test"][0] == pytest.approx(ref["AUC"]["test_mean"], abs=6.0)
     assert stats["Hits@20"]["test"][0] == pytest.approx(
@@ -706,3 +714,41 @@ def test_golden_production_eval_protocol_exact():
         got = np.asarray(jax.tree_util.tree_map(float, results[k]))
         tol = 2e-5 if k == "AUC" else 1.0 / 50 + 1e-6
         np.testing.assert_allclose(got, gold[f"prod::{k}"], atol=tol, err_msg=k)
+
+
+def test_golden_production_split_structure_small_ratio():
+    """The 0.1-ratio production branch (train_teacher_gnn.py:361-364, every
+    dataset except cora/citeseer): the GENUINE coauthor-cs production
+    pickle's structural profile matches our splitter at the same ratios."""
+    from llp_tpu.data.import_reference import load_production_split_pickle
+    from llp_tpu.data.splits import do_production_edge_split
+
+    ps, full_x, full_ei = load_production_split_pickle(
+        os.path.join(GOLD, "data", "coauthor-cs_production.pkl")
+    )
+    with np.load(os.path.join(GOLD, "data", "coauthor-cs.npz")) as z:
+        np.testing.assert_allclose(full_x, z["x"])
+        np.testing.assert_array_equal(full_ei, z["edge_index"])
+    n = full_x.shape[0]
+    ours = do_production_edge_split(
+        full_x, full_ei, test_ratio=0.1, val_node_ratio=0.1, val_ratio=0.1,
+        old_old_extra_ratio=0.1,
+    )
+
+    def prof(p):
+        return {
+            "n_old": p.training_x.shape[0],
+            "neg_cols": p.negative_samples.shape[1],
+            "val_balanced": p.val_pos.shape[1] == p.val_neg.shape[1],
+            "buckets_nonempty": all(
+                b.shape[1] > 0
+                for b in (p.test_old_old, p.test_old_new, p.test_new_new)
+            ),
+            "train_graph_max_lt_old": int(p.training_edge_index.max())
+            < p.training_x.shape[0],
+        }
+
+    a, b = prof(ps), prof(ours)
+    assert a == b, (a, b)
+    assert a["n_old"] == n - round(0.1 * n)
+    assert a["neg_cols"] == 2 * (round(0.1 * full_ei.shape[1] / 2) // 2)

@@ -109,6 +109,18 @@ def main():
         [a if a != "--encoder=sage" else "--encoder=gcn" for a in teacher_args],
     )
     run_entry(os.path.join(REF, "main.py"), student_args + ["--minibatch"])
+    # Phase F: the 0.1-ratio production branch (train_teacher_gnn.py:361-364
+    # switches test/val_node/val ratios to 0.1 for every dataset except
+    # cora/citeseer) — a second genuine production pickle on coauthor-cs;
+    # and the student's ps_method='rw' sampler mode (one long walk per
+    # anchor instead of concatenated hop-walks, main.py:36-38).
+    run_entry(
+        os.path.join(REF, "train_teacher_gnn.py"),
+        ["--datasets=coauthor-cs", "--encoder=sage", "--runs=1",
+         "--epochs=30", "--eval_steps=1", "--log_steps=1000",
+         "--transductive=production"],
+    )
+    run_entry(os.path.join(REF, "main.py"), student_args + ["--ps_method=rw"])
 
     os.chdir(GOLD)
     export_model_goldens()
@@ -461,14 +473,14 @@ def export_meta():
             if not seg.startswith("Namespace("):
                 continue
             entries = {}
-            for m in re.finditer(r"(Hits@\d+|AUC):\nTest: ([\d.]+) ± ([\d.]+)", seg):
+            for m in re.finditer(r"(Hits@\d+|AUC):\nTest: ([\d.]+) ± ([\d.]+|nan)", seg):
                 entries[m.group(1)] = {
                     "test_mean": float(m.group(2)),
                     "test_std": float(m.group(3)),
                 }
             for m in re.finditer(
-                r"(Hits@\d+|AUC):\n\s*Final val: ([\d.]+) ± ([\d.]+)\s*Final Test: ([\d.]+) ± ([\d.]+)\s*"
-                r"Final old_old: ([\d.]+) ± ([\d.]+)\s*Final old_new: ([\d.]+) ± ([\d.]+)\s*Final new_new: ([\d.]+) ± ([\d.]+)",
+                r"(Hits@\d+|AUC):\n\s*Final val: ([\d.]+) ± ([\d.]+|nan)\s*Final Test: ([\d.]+) ± ([\d.]+|nan)\s*"
+                r"Final old_old: ([\d.]+) ± ([\d.]+|nan)\s*Final old_new: ([\d.]+) ± ([\d.]+|nan)\s*Final new_new: ([\d.]+) ± ([\d.]+|nan)",
                 seg,
             ):
                 entries[m.group(1)] = {
@@ -477,11 +489,13 @@ def export_meta():
                     "new_new_mean": float(m.group(10)),
                 }
             if entries:
+                ps = re.search(r"ps_method='(\w+)'", seg)
                 meta["runs"].append({
                     "file": fn,
                     "args": seg[: seg.index(")") + 1],
                     "minibatch": "minibatch=True" in seg,
                     "encoder": re.search(r"encoder='(\w+)'", seg).group(1),
+                    "ps_method": ps.group(1) if ps else None,
                     "metrics": entries,
                 })
     with open(os.path.join(GOLD, "golden_meta.json"), "w") as f:

@@ -56,6 +56,12 @@ def _generate_tiny_graph(llp_name: str, n=300, k=4, d=32, p_in=0.10, p_out=0.004
 class _TinySyntheticDataset(Dataset):
     #: subclass sets {pyg_name_lower: llp_name}
     NAME_MAP = {}
+    #: generator overrides; Coauthor/Amazon graphs are bigger/denser so the
+    #: 0.1-ratio production split (train_teacher_gnn.py:361-364) has
+    #: non-empty new-new test buckets — the REFERENCE crashes on
+    #: torch.cat([]) otherwise (test_production:217), a genuine tiny-graph
+    #: limitation, not a shim artifact.
+    GEN_KW = {}
 
     def __init__(self, root, name):
         llp_name = self.NAME_MAP[name.lower()]
@@ -65,7 +71,7 @@ class _TinySyntheticDataset(Dataset):
             z = np.load(path)
             x, edge_index = z["x"], z["edge_index"]
         else:
-            x, edge_index = _generate_tiny_graph(llp_name)
+            x, edge_index = _generate_tiny_graph(llp_name, **self.GEN_KW)
             np.savez_compressed(path, x=x, edge_index=edge_index)
         self.data = Data(
             x=torch.from_numpy(np.ascontiguousarray(x)),
@@ -86,7 +92,9 @@ class Planetoid(_TinySyntheticDataset):
 
 class Coauthor(_TinySyntheticDataset):
     NAME_MAP = {"cs": "coauthor-cs", "physics": "coauthor-physics"}
+    GEN_KW = dict(n=450, p_in=0.12, p_out=0.006)
 
 
 class Amazon(_TinySyntheticDataset):
     NAME_MAP = {"computers": "amazon-computers", "photo": "amazon-photos"}
+    GEN_KW = dict(n=450, p_in=0.12, p_out=0.006)
