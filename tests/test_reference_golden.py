@@ -752,3 +752,90 @@ def test_golden_production_split_structure_small_ratio():
     assert a == b, (a, b)
     assert a["n_old"] == n - round(0.1 * n)
     assert a["neg_cols"] == 2 * (round(0.1 * full_ei.shape[1] / 2) // 2)
+
+
+def test_golden_collab_eval_protocol_exact():
+    """The collab branch's evaluation protocol (official split, SHIPPED
+    valid/test negatives, Ks {10,50,100} — train_teacher_gnn.py:132-145)
+    reproduced exactly from the genuine collab checkpoint."""
+    import torch
+
+    from llp_tpu.core.graph import build_graph
+    from llp_tpu.evaln.transductive import make_transductive_eval_fn
+    from llp_tpu.utils.torch_import import import_teacher_state
+
+    with np.load(os.path.join(GOLD, "golden_eval_protocol.npz")) as zp:
+        gold = dict(zp)
+    with np.load(os.path.join(GOLD, "data", "collab.npz")) as z:
+        c = dict(z)
+    graph = build_graph(c["edge_index"], c["x"].shape[0])
+    blob = torch.load(
+        os.path.join(GOLD, "saved-models", "collab-sage_transductive.pkl"),
+        map_location="cpu", weights_only=False,
+    )
+    params = import_teacher_state(blob, encoder="sage")
+    eval_fn = make_transductive_eval_fn(encoder="sage", hits_ks=(10, 50, 100))
+    e = lambda k: jnp.asarray(c[k].astype(np.int32))
+    results, h = eval_fn(
+        params, graph, jnp.asarray(c["x"]),
+        e("split__valid__edge"), e("split__valid__edge_neg"),
+        e("split__test__edge"), e("split__test__edge_neg"),
+    )
+    np.testing.assert_allclose(np.asarray(h), gold["collab::h"], atol=3e-5, rtol=1e-4)
+    n_v = c["split__valid__edge"].shape[0]
+    for k in ("Hits@10", "Hits@50", "Hits@100", "AUC"):
+        got = np.asarray(jax.tree_util.tree_map(float, results[k]))
+        tol = 2e-5 if k == "AUC" else 1.0 / n_v + 1e-6
+        np.testing.assert_allclose(got, gold[f"collab::{k}"], atol=tol, err_msg=k)
+
+
+def test_golden_collab_band_official_split(tmp_path):
+    """The whole collab driver path on a genuine-format official-split
+    dataset: the registry routes the shipped split (provenance recorded,
+    Hits@50 selection), the teacher lands in the reference collab run's
+    band, and the minibatch student distills from the GENUINE collab
+    teacher artifacts into its band."""
+    import shutil
+
+    from llp_tpu.cli.import_reference import main as import_main
+    from llp_tpu.train.loop import run_student, run_teacher
+    from llp_tpu.utils.config import StudentConfig, TeacherConfig
+
+    ddir = str(tmp_path / "data")
+    os.makedirs(ddir)
+    shutil.copyfile(
+        os.path.join(GOLD, "data", "collab.npz"),
+        os.path.join(ddir, "collab.npz"),
+    )
+    meta = json.load(open(os.path.join(GOLD, "golden_meta.json")))
+
+    cfg = TeacherConfig(
+        datasets="collab", dataset_dir=ddir, encoder="sage", runs=1,
+        epochs=40, eval_steps=1, patience=100, hidden_channels=256,
+        batch_size=1 << 16, save_dir=str(tmp_path / "tsaved"),
+        results_dir=str(tmp_path / "results"),
+    )
+    stats, _ = run_teacher(cfg, verbose=False)
+    assert "Hits@50" in stats and "Hits@100" in stats  # collab K set
+    ref_t = _meta_run(meta, "collab_supervised_transductive.txt")
+    assert stats["AUC"]["test"][0] == pytest.approx(ref_t["AUC"]["test_mean"], abs=6.0)
+    assert stats["Hits@50"]["test"][0] == pytest.approx(
+        ref_t["Hits@50"]["test_mean"], abs=25.0
+    )
+
+    sdir = str(tmp_path / "saved")
+    import_main([
+        "--datasets=collab", f"--dataset_dir={ddir}", f"--save_dir={sdir}",
+        f"--models_pkl={os.path.join(GOLD, 'saved-models', 'collab-sage_transductive.pkl')}",
+        f"--features_pkl={os.path.join(GOLD, 'saved-features', 'collab-sage_transductive.pkl')}",
+        "--encoder=sage",
+    ])
+    scfg = StudentConfig(
+        datasets="collab", dataset_dir=ddir, encoder="sage", runs=1,
+        epochs=30, eval_steps=1, patience=100, hidden_channels=256,
+        link_batch_size=1 << 16, minibatch=True, save_dir=sdir,
+        results_dir=str(tmp_path / "results"),
+    )
+    sstats, _ = run_student(scfg, verbose=False)
+    ref_s = _meta_run(meta, "collab_KD_transductive.txt", minibatch=True)
+    assert sstats["AUC"]["test"][0] == pytest.approx(ref_s["AUC"]["test_mean"], abs=6.0)

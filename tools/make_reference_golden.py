@@ -121,6 +121,25 @@ def main():
          "--transductive=production"],
     )
     run_entry(os.path.join(REF, "main.py"), student_args + ["--ps_method=rw"])
+    # Phase G: the COLLAB branch (official-split protocol: shipped
+    # valid/test negatives, Hits@{10,50,100}, Hits@50 selection, uniform
+    # randint negatives, minibatch student — main.py:306-316,83-84;
+    # train_teacher_gnn.py:321-331). The shim PygLinkPropPredDataset also
+    # exports the identical graph+split as collab.npz (llp_tpu interchange).
+    run_entry(
+        os.path.join(REF, "train_teacher_gnn.py"),
+        ["--datasets=collab", "--encoder=sage", "--runs=1", "--epochs=40",
+         "--eval_steps=1", "--log_steps=1000"],
+    )
+    run_entry(
+        os.path.join(REF, "main.py"),
+        ["--datasets=collab", "--encoder=sage", "--runs=1", "--epochs=30",
+         "--eval_steps=1", "--log_steps=1000", "--minibatch"],
+    )
+    shutil.copyfile(
+        os.path.join(src_cwd, "dataset", "collab.npz"),
+        os.path.join(GOLD, "data", "collab.npz"),
+    )
 
     os.chdir(GOLD)
     export_model_goldens()
@@ -448,9 +467,41 @@ def export_eval_protocol_goldens():
         out[f"prod::{k}"] = np.asarray(v, np.float64)
     out["prod::h_val"] = h_p.detach().numpy()
 
+    # collab protocol: Ks {10,50,100} against the SHIPPED negatives
+    # (train_teacher_gnn.py:132-145), graph+split from the shim's npz export
+    z_c = np.load(os.path.join(GOLD, "data", "collab.npz"))
+    blob_c = torch.load(
+        os.path.join(GOLD, "saved-models", "collab-sage_transductive.pkl")
+    )
+    D_c = z_c["x"].shape[1]
+    model_c = SAGE("collab", D_c, 256, 256, 2, 0.0, SAGEConv)
+    model_c.load_state_dict(blob_c["gnn"])
+    pred_c = LinkPredictor("mlp", 256, 256, 1, 2, 0.0)
+    pred_c.load_state_dict(blob_c["predictor"])
+    model_c.eval()
+    pred_c.eval()
+    split_c = {
+        part: {
+            kk.split("__", 2)[2]: torch.from_numpy(z_c[kk])
+            for kk in z_c.files
+            if kk.startswith(f"split__{part}__")
+        }
+        for part in ("train", "valid", "test")
+    }
+    data_c = Data(x=torch.from_numpy(z_c["x"]))
+    data_c.adj_t = torch.from_numpy(z_c["edge_index"])
+    with torch.no_grad():
+        results_c, h_c = T.test_transductive(
+            model_c, pred_c, data_c, split_c, ev, 1 << 16, "sage", "collab",
+            args,
+        )
+    for k, v in results_c.items():
+        out[f"collab::{k}"] = np.asarray(v, np.float64)
+    out["collab::h"] = h_c.detach().numpy()
+
     np.savez_compressed(os.path.join(GOLD, "golden_eval_protocol.npz"), **out)
     print("golden_eval_protocol.npz:",
-          {k: out[k].tolist() for k in ("trans::AUC", "prod::AUC")})
+          {k: out[k].tolist() for k in ("trans::AUC", "prod::AUC", "collab::AUC")})
 
 
 # --------------------------------------------------------------------- meta
