@@ -49,6 +49,10 @@ def _build() -> Optional[ctypes.CDLL]:
             lib.llp_build_csr_perm.argtypes = [
                 i32p, ctypes.c_int64, ctypes.c_int32, i32p, i64p,
             ]
+            lib.llp_partition_graph.argtypes = [
+                i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, i32p, i32p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -146,6 +150,68 @@ def sample_negative_edges(
         a[bad] = rng.integers(0, num_nodes, n_bad)
         b[bad] = rng.integers(0, num_nodes, n_bad)
     return np.stack([a.astype(np.int32), b.astype(np.int32)])
+
+
+def partition_graph(
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    num_parts: int,
+    max_passes: int,
+    cap: int,
+    cap2: int,
+    order: np.ndarray,
+) -> np.ndarray:
+    """(N,) int32 balanced locality partition (see sampler.cpp).
+
+    LDG stream over ``order`` then capacitated label-propagation restreams.
+    Deterministic (no RNG): the numpy fallback implements the identical
+    sequential algorithm, so both paths produce the same assignment.
+    """
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    order = np.ascontiguousarray(order, np.int32)
+    n = row_ptr.shape[0] - 1
+    assign = np.empty((n,), np.int32)
+    lib = _build()
+    if lib is not None:
+        lib.llp_partition_graph(
+            row_ptr, col, np.int32(n), np.int32(num_parts),
+            np.int32(max_passes), np.int32(cap), np.int32(cap2), order, assign,
+        )
+        return assign
+    # numpy fallback: same algorithm, python loops (small graphs / no g++).
+    assign[:] = -1
+    load = np.zeros(num_parts, np.int64)
+    nb = np.zeros(num_parts, np.int64)
+    for v in order:
+        nbrs = col[row_ptr[v]:row_ptr[v + 1]]
+        nb[:] = 0
+        an = assign[nbrs]
+        an = an[an >= 0]
+        if an.size:
+            np.add.at(nb, an, 1)
+        score = nb * (cap - load)
+        score[load >= cap] = np.iinfo(np.int64).min
+        best = int(np.argmax(score))  # ties -> lowest p, like the C++ scan
+        assign[v] = best
+        load[best] += 1
+    for _ in range(max_passes):
+        moved = 0
+        for v in range(n):
+            cur = assign[v]
+            nbrs = col[row_ptr[v]:row_ptr[v + 1]]
+            nb[:] = 0
+            np.add.at(nb, assign[nbrs], 1)
+            score = np.where((load < cap2) | (np.arange(num_parts) == cur), nb, -1)
+            best = int(np.argmax(score))
+            if best != cur and score[best] > nb[cur]:
+                load[cur] -= 1
+                load[best] += 1
+                assign[v] = best
+                moved += 1
+        if moved == 0:
+            break
+    return assign
 
 
 def build_csr(

@@ -1,4 +1,4 @@
-// Host-side graph sampling library for llp_tpu.
+// Host-side graph library for llp_tpu (sampling + partitioning).
 //
 // Native replacement for the C++/CUDA sampling machinery the reference leans
 // on (torch_cluster.random_walk at reference src/main.py:37-45, PyG
@@ -6,7 +6,9 @@
 // exclusion-set negative edge sampling, exposed as extern "C" for ctypes.
 // These feed the host->device input pipeline for graphs whose node count
 // exceeds the on-device int32 exact-key limit (e.g. ogbl-collab), and serve
-// as the CPU half of the data loader generally.
+// as the CPU half of the data loader generally.  Also hosts the
+// locality-aware balanced graph partitioner (llp_partition_graph) that backs
+// halo-sharding comm-volume reduction and cache-locality node reordering.
 //
 // Determinism: all entry points take an explicit 64-bit seed; each logical
 // unit (walk / sample slot) derives its own splitmix64 stream, so results are
@@ -132,6 +134,75 @@ void llp_sample_negative_edges(const int64_t* sorted_keys, int64_t n_keys,
       out_dst[i] = (int32_t)b;
     }
   });
+}
+
+// Locality-aware balanced partitioning into num_parts groups of <= cap
+// nodes: one LDG stream pass over the caller-supplied node order (score =
+// assigned-neighbor count * remaining capacity, hard cap), then capacitated
+// label-propagation restream passes (score = neighbor count, slack cap2 >=
+// cap) until no node moves or max_passes is hit.  Deterministic — no RNG;
+// ties resolve to the lowest partition id and restream moves only on strict
+// improvement.  Sequential by design (each decision reads earlier ones);
+// O(max_passes * (E + n * num_parts)), far from any hot path.
+//
+// The caller rebalances to exact per-part fills afterwards (python side —
+// the slack surplus is a few percent of n) and turns the assignment into a
+// relabeling permutation for halo sharding / cache locality.
+void llp_partition_graph(const int32_t* row_ptr, const int32_t* col,
+                         int32_t n, int32_t num_parts, int32_t max_passes,
+                         int32_t cap, int32_t cap2, const int32_t* order,
+                         int32_t* assign) {
+  std::vector<int64_t> load((size_t)num_parts, 0);
+  std::vector<int64_t> nb((size_t)num_parts, 0);
+  std::fill(assign, assign + n, (int32_t)-1);
+  // Pass 0: LDG over the stream order.
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t v = order[i];
+    std::fill(nb.begin(), nb.end(), 0);
+    for (int32_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e) {
+      int32_t a = assign[col[e]];
+      if (a >= 0) nb[(size_t)a]++;
+    }
+    int64_t best_score = INT64_MIN;
+    int32_t best = 0;
+    for (int32_t p = 0; p < num_parts; ++p) {
+      if (load[p] >= cap) continue;
+      int64_t s = nb[(size_t)p] * (int64_t)(cap - load[p]);
+      if (s > best_score) {
+        best_score = s;
+        best = p;
+      }
+    }
+    assign[v] = best;
+    load[(size_t)best]++;
+  }
+  // Restream: capacitated label propagation with slack.
+  for (int32_t pass = 0; pass < max_passes; ++pass) {
+    int64_t moved = 0;
+    for (int32_t v = 0; v < n; ++v) {
+      int32_t cur = assign[v];
+      std::fill(nb.begin(), nb.end(), 0);
+      for (int32_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e) {
+        nb[(size_t)assign[col[e]]]++;
+      }
+      int64_t best_score = -1;
+      int32_t best = cur;
+      for (int32_t p = 0; p < num_parts; ++p) {
+        if (p != cur && load[p] >= cap2) continue;
+        if (nb[(size_t)p] > best_score) {
+          best_score = nb[(size_t)p];
+          best = p;
+        }
+      }
+      if (best != cur && best_score > nb[(size_t)cur]) {
+        load[(size_t)cur]--;
+        load[(size_t)best]++;
+        assign[v] = best;
+        moved++;
+      }
+    }
+    if (moved == 0) break;
+  }
 }
 
 // CSR construction from an edge list (senders array), counts pre-zeroed.

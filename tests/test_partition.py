@@ -1,0 +1,136 @@
+"""Locality-aware balanced partitioner (llp_tpu/data/partition.py).
+
+The halo execution model's comm volume is set by how well contiguous node-id
+ranges cluster the graph (BASELINE.md halo comm-volume table); this
+partitioner produces the relabeling that shrinks the boundary sets.  No
+reference counterpart (single-device repo) — north-star SURVEY §2.3.
+"""
+
+import numpy as np
+import pytest
+
+from llp_tpu.data.partition import (
+    bfs_order,
+    boundary_stats,
+    locality_order,
+    partition_assign,
+)
+from llp_tpu.data.synthetic import sbm_graph
+from llp_tpu.native import lib as native
+
+
+@pytest.fixture
+def sbm20k():
+    ei, comm = sbm_graph(20_000, 16, 16.0, seed=7)  # the warm bench graph
+    return ei, comm
+
+
+def _range_assign(n, p):
+    cap = -(-n // p)
+    return (np.arange(n) // cap).astype(np.int32)
+
+
+def test_bfs_order_is_permutation_isolated_last():
+    ei, _ = sbm_graph(500, 4, 4.0, seed=1)
+    # add isolated nodes by declaring more nodes than the edges touch
+    n = 520
+    order = bfs_order(ei, n)
+    assert sorted(order.tolist()) == list(range(n))
+    deg = np.bincount(ei[0], minlength=n)
+    iso = set(np.flatnonzero(deg == 0).tolist())
+    if iso:
+        tail = set(order[-len(iso):].tolist())
+        assert tail == iso
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+def test_exact_balance(sbm20k, p):
+    ei, _ = sbm20k
+    n = 20_000
+    a = partition_assign(ei, n, p)
+    cap = -(-n // p)
+    loads = np.bincount(a, minlength=p)
+    assert loads[:-1].tolist() == [cap] * (p - 1)
+    assert loads[-1] == n - (p - 1) * cap
+
+
+def test_determinism(sbm20k):
+    ei, _ = sbm20k
+    a1 = partition_assign(ei, 20_000, 8)
+    a2 = partition_assign(ei, 20_000, 8)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_boundary_reduction_vs_range(sbm20k):
+    """On a community graph with shuffled ids, locality partitioning must cut
+    halo boundary rows by at least 3x vs the id-range partition (measured:
+    3.9x, reaching the planted-community oracle)."""
+    ei, _ = sbm20k
+    n = 20_000
+    a = partition_assign(ei, n, 8)
+    st = boundary_stats(ei, a, 8)
+    st0 = boundary_stats(ei, _range_assign(n, 8), 8)
+    assert st["boundary_rows"] * 3 < st0["boundary_rows"]
+    assert st["cut_edges"] * 3 < st0["cut_edges"]
+    assert st["max_pair_rows"] < st0["max_pair_rows"]
+
+
+def test_recovers_planted_communities(sbm20k):
+    """At P=8 on the 16-community warm graph the converged partition should
+    sit near the oracle (communities grouped 2-per-part): cut within 1.5x of
+    the planted-community grouping's cut."""
+    ei, comm = sbm20k
+    a = partition_assign(ei, 20_000, 8)
+    st = boundary_stats(ei, a, 8)
+    oracle = boundary_stats(ei, (comm * 8 // 16).astype(np.int32), 8)
+    assert st["cut_edges"] < 1.5 * oracle["cut_edges"]
+
+
+def test_locality_order_groups_partitions(sbm20k):
+    """order sorted by (assign, id); range partition in relabeled space ==
+    the locality partition."""
+    ei, _ = sbm20k
+    n = 20_000
+    order = locality_order(ei, n, 8)
+    assert sorted(order.tolist()) == list(range(n))
+    a = partition_assign(ei, n, 8)
+    cap = -(-n // 8)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    np.testing.assert_array_equal((inv[np.arange(n)] // cap).astype(np.int32), a)
+
+
+def test_single_part_trivial():
+    ei, _ = sbm_graph(300, 4, 4.0, seed=2)
+    a = partition_assign(ei, 300, 1)
+    assert (a == 0).all()
+    np.testing.assert_array_equal(locality_order(ei, 300, 1), np.arange(300))
+
+
+def test_python_fallback_matches_native():
+    """The numpy fallback implements the identical sequential algorithm —
+    assignments match the C++ path bit-for-bit."""
+    if not native.native_available():
+        pytest.skip("g++ unavailable — nothing to compare against")
+    ei, _ = sbm_graph(2_000, 8, 10.0, seed=3)
+    a_native = partition_assign(ei, 2_000, 4)
+    saved = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, True  # force the numpy path
+        a_py = partition_assign(ei, 2_000, 4)
+    finally:
+        native._lib, native._tried = saved
+    np.testing.assert_array_equal(a_native, a_py)
+
+
+def test_boundary_stats_counts():
+    # 4 nodes in 2 parts: edges 0->2, 1->2, 0->3 plus reverses.
+    ei = np.array([[0, 1, 0, 2, 2, 3], [2, 2, 3, 0, 1, 0]])
+    a = np.array([0, 0, 1, 1], np.int32)
+    st = boundary_stats(ei, a, 2)
+    assert st["cut_edges"] == 6
+    # unique (sender, requester-part): (0,p1),(1,p1),(2,p0),(3,p0) = 4
+    assert st["boundary_rows"] == 4
+    # B(owner0 -> p1) = {0,1}; B(owner1 -> p0) = {2,3} -> max 2
+    assert st["max_pair_rows"] == 2
+    assert st["loads"] == [2, 2]
