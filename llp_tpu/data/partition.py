@@ -83,6 +83,7 @@ def partition_assign(
     num_nodes: int,
     num_parts: int,
     *,
+    method: str = "auto",
     max_passes: int = 30,
     slack: float = 0.04,
 ) -> np.ndarray:
@@ -92,20 +93,57 @@ def partition_assign(
     remainder), so sorting nodes by (assignment, id) yields a relabeling
     under which the plain id-range partition of :func:`build_halo_partition`
     coincides with this partition.
+
+    ``method``: ``"multilevel"`` (native METIS-style V-cycle — heavy-edge
+    matching coarsen, coarsest LDG+LP, refine on the way back),
+    ``"flat"`` (the restreaming LDG, identical in C++ and numpy), or
+    ``"auto"``: run both and keep the lower-cut result — the two methods'
+    label-propagation refinements settle in different basins and neither
+    dominates (measured, collab stand-in: flat wins P=8 at 18.5%-cut vs
+    29%, multilevel wins P=4 at 16.5% vs 28%); both are sub-second per
+    million edges and this runs once per dataset.  Without the native
+    library ``"auto"`` degrades to flat.
     """
     if num_parts <= 1:
         return np.zeros(num_nodes, np.int32)
+    if method not in ("auto", "flat", "multilevel"):
+        raise ValueError(f"unknown partition method {method!r}")
     edge_index = np.asarray(edge_index, dtype=np.int64)
     cap = -(-num_nodes // num_parts)
     cap2 = cap + max(1, int(cap * slack))
-    order = bfs_order(edge_index, num_nodes)
     row_ptr, col = native.build_csr(
         edge_index[0].astype(np.int32), edge_index[1].astype(np.int32),
         num_nodes,
     )
-    assign = native.partition_graph(
-        row_ptr, col, num_parts, max_passes, cap, cap2, order
-    )
+    candidates = []
+    if method in ("auto", "multilevel"):
+        # Coarsest-size choice: 1024 measured best at collab scale; keep
+        # >= 16 clusters per part so the coarse LDG has placement freedom.
+        coarsest = max(1024, 16 * num_parts)
+        ml = native.partition_multilevel(
+            row_ptr, col, num_parts, coarsest, max_passes, slack
+        )
+        if ml is None and method == "multilevel":
+            raise RuntimeError(
+                "partition method 'multilevel' needs the native library "
+                "(g++); use method='flat' or 'auto'"
+            )
+        if ml is not None:
+            candidates.append(ml)
+    if method in ("auto", "flat"):
+        order = bfs_order(edge_index, num_nodes)
+        candidates.append(native.partition_graph(
+            row_ptr, col, num_parts, max_passes, cap, cap2, order
+        ))
+    if len(candidates) > 1:
+        cuts = [
+            int((np.asarray(a)[edge_index[0]]
+                 != np.asarray(a)[edge_index[1]]).sum())
+            for a in candidates
+        ]
+        assign = candidates[int(np.argmin(cuts))]
+    else:
+        assign = candidates[0]
     return _exact_fill(assign, row_ptr.astype(np.int64), col, num_nodes,
                        num_parts, cap)
 
@@ -158,6 +196,7 @@ def locality_order(
     num_nodes: int,
     num_parts: int,
     *,
+    method: str = "auto",
     max_passes: int = 30,
     slack: float = 0.04,
 ) -> np.ndarray:
@@ -168,7 +207,8 @@ def locality_order(
     id-range partition into ``num_parts`` equals the locality partition.
     """
     assign = partition_assign(
-        edge_index, num_nodes, num_parts, max_passes=max_passes, slack=slack
+        edge_index, num_nodes, num_parts, method=method,
+        max_passes=max_passes, slack=slack,
     )
     return np.lexsort((np.arange(num_nodes), assign))
 

@@ -53,6 +53,10 @@ def _build() -> Optional[ctypes.CDLL]:
                 i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, i32p, i32p,
             ]
+            lib.llp_partition_multilevel.argtypes = [
+                i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_double, i32p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -211,6 +215,31 @@ def partition_graph(
                 moved += 1
         if moved == 0:
             break
+    return assign
+
+
+def partition_multilevel(
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    num_parts: int,
+    coarsest: int,
+    refine_passes: int,
+    slack: float,
+) -> np.ndarray | None:
+    """(N,) int32 multilevel partition (sampler.cpp V-cycle), or None when
+    the native library is unavailable (callers fall back to the flat
+    restreaming path)."""
+    lib = _build()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    n = row_ptr.shape[0] - 1
+    assign = np.empty((n,), np.int32)
+    lib.llp_partition_multilevel(
+        row_ptr, col, np.int32(n), np.int32(num_parts), np.int32(coarsest),
+        np.int32(refine_passes), ctypes.c_double(slack), assign,
+    )
     return assign
 
 

@@ -113,14 +113,44 @@ def test_python_fallback_matches_native():
     if not native.native_available():
         pytest.skip("g++ unavailable — nothing to compare against")
     ei, _ = sbm_graph(2_000, 8, 10.0, seed=3)
-    a_native = partition_assign(ei, 2_000, 4)
+    a_native = partition_assign(ei, 2_000, 4, method="flat")
     saved = native._lib, native._tried
     try:
         native._lib, native._tried = None, True  # force the numpy path
-        a_py = partition_assign(ei, 2_000, 4)
+        a_py = partition_assign(ei, 2_000, 4, method="flat")
     finally:
         native._lib, native._tried = saved
     np.testing.assert_array_equal(a_native, a_py)
+
+
+def test_multilevel_beats_range_and_is_deterministic(sbm20k):
+    if not native.native_available():
+        pytest.skip("g++ unavailable")
+    ei, _ = sbm20k
+    n = 20_000
+    a = partition_assign(ei, n, 4, method="multilevel")
+    a2 = partition_assign(ei, n, 4, method="multilevel")
+    np.testing.assert_array_equal(a, a2)
+    st = boundary_stats(ei, a, 4)
+    st0 = boundary_stats(ei, _range_assign(n, 4), 4)
+    assert st["cut_edges"] * 2 < st0["cut_edges"]
+    cap = -(-n // 4)
+    loads = np.bincount(a, minlength=4)
+    assert loads[:-1].tolist() == [cap] * 3
+
+
+def test_auto_not_worse_than_either(sbm20k):
+    """auto = best-of-both by cut: never worse than flat or multilevel."""
+    if not native.native_available():
+        pytest.skip("g++ unavailable")
+    ei, _ = sbm20k
+    n = 20_000
+    cut = lambda a: boundary_stats(ei, a, 4)["cut_edges"]
+    c_auto = cut(partition_assign(ei, n, 4, method="auto"))
+    c_flat = cut(partition_assign(ei, n, 4, method="flat"))
+    c_ml = cut(partition_assign(ei, n, 4, method="multilevel"))
+    # exact-fill perturbs each candidate after selection, so allow 2% wiggle
+    assert c_auto <= min(c_flat, c_ml) * 1.02
 
 
 def test_boundary_stats_counts():
