@@ -71,6 +71,20 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
              "feature/teacher tables for the minibatch student",
     )
     p.add_argument(
+        "--reorder", type=str, default="none",
+        choices=["none", "locality", "rcm"],
+        help="node-id relabel at data-prep time (isomorphism; artifacts "
+             "stay in the dataset's original id space): 'locality' groups "
+             "low-cut clusters into contiguous id ranges (shrinks halo "
+             "exchange volume, clusters SpMM gathers), 'rcm' is reverse "
+             "Cuthill-McKee",
+    )
+    p.add_argument(
+        "--reorder_parts", type=int, default=0,
+        help="cluster count for --reorder locality (0 = auto: num_devices "
+             "when multi-device, else 64)",
+    )
+    p.add_argument(
         "--checkpoint_every", type=int, default=0,
         help="epochs between train-state snapshots (0 = off)",
     )

@@ -155,9 +155,10 @@ def _exact_fill(assign, row_ptr, col, n, p_, cap):
     the underfull group where they have the most neighbors (deficit-capped).
     Deterministic: members tie-break ascending id, targets lowest id.
     """
-    req = np.full(p_, cap, np.int64)
-    req[p_ - 1] = n - (p_ - 1) * cap
-    assert req[p_ - 1] >= 0, "num_parts too large for num_nodes"
+    # Range-slot sizes: full cap slots, then the remainder, then (when
+    # cap*p_ overshoots n by more than one slot) empty tail slots — exactly
+    # the sizes owner = id // cap produces.
+    req = np.minimum(cap, np.maximum(0, n - np.arange(p_, dtype=np.int64) * cap))
     load = np.bincount(assign, minlength=p_).astype(np.int64)
     deficit = req - load  # >0 where underfull
     for q in np.flatnonzero(load > req):

@@ -129,6 +129,42 @@ def _halo_degree(graph):
     return _np.asarray(jax.device_get(deg))
 
 
+def _node_order(cfg, edge_index, num_nodes):
+    """Relabeling permutation for cfg.reorder (see CommonConfig.reorder)."""
+    if cfg.reorder == "rcm":
+        from llp_tpu.data.reorder import rcm_order
+
+        return rcm_order(np.asarray(edge_index, np.int64), num_nodes)
+    from llp_tpu.data.partition import locality_order
+
+    parts = cfg.reorder_parts or (
+        cfg.num_devices if cfg.num_devices > 1 else 64
+    )
+    return locality_order(
+        np.asarray(edge_index, np.int64), num_nodes,
+        max(1, min(parts, num_nodes)),
+    )
+
+
+def _inverse_order(order):
+    inv = np.empty(order.shape[0], np.int64)
+    inv[order] = np.arange(order.shape[0])
+    return inv
+
+
+def _relabel_split(split, inv):
+    """Map every node id in a transductive split dict through inv."""
+    out = {}
+    for part, d in split.items():
+        nd = dict(d)
+        for key in ("edge", "edge_neg"):
+            if key in nd and nd[key] is not None:
+                arr = np.asarray(nd[key])
+                nd[key] = inv[arr.astype(np.int64)].astype(arr.dtype)
+        out[part] = nd
+    return out
+
+
 def prepare_transductive(cfg):
     """Dataset + split + padded graph + device arrays.
 
@@ -169,6 +205,17 @@ def prepare_transductive(cfg):
         # (reference train_teacher_gnn.py:316-317).
         message_ei = split["train"]["edge"].astype(np.int64).T
 
+    # Optional locality/RCM relabel (isomorphism; split caches above stay in
+    # the dataset's original id space — the relabel is in-memory only).
+    node_order = node_inverse = None
+    x_rows = ds.x
+    if getattr(cfg, "reorder", "none") != "none":
+        node_order = _node_order(cfg, message_ei, ds.num_nodes)
+        node_inverse = _inverse_order(node_order)
+        message_ei = node_inverse[np.asarray(message_ei, np.int64)]
+        split = _relabel_split(split, node_inverse)
+        x_rows = np.asarray(ds.x)[node_order]
+
     train_edges = split["train"]["edge"].astype(np.int32)  # (E, 2) positives
     graph = build_graph(
         message_ei,
@@ -176,7 +223,7 @@ def prepare_transductive(cfg):
         pad_to_multiple=_edge_pad_multiple(cfg),
         edge_weight=ew,
     )
-    x = jnp.asarray(ds.x)
+    x = jnp.asarray(x_rows)
 
     # use_valedges_as_input: score test edges against a message graph that
     # also contains the validation edges. The reference builds this
@@ -237,6 +284,8 @@ def prepare_transductive(cfg):
         eval_edges=eval_edges,
         num_pos=train_edges.shape[0],
         split_name=split_name,
+        node_order=node_order,
+        node_inverse=node_inverse,
     )
 
 
@@ -264,27 +313,53 @@ def prepare_production(cfg):
 
     n_old = ps.training_x.shape[0]
     n_all = ps.inference_x.shape[0]
+
+    # Optional locality/RCM relabel — two independent id spaces (old-node
+    # training/val space; all-node inference space), each an isomorphism.
+    # The split cache above stays in the original id space.
+    node_order = node_inverse = None
+    tr_ei, tr_x = ps.training_edge_index, ps.training_x
+    val_pos, val_neg = ps.val_pos, ps.val_neg
+    inf_ei, inf_x_rows = ps.inference_edge_index, ps.inference_x
+    t_merged, t_oo = ps.test_merged, ps.test_old_old
+    t_on, t_nn, t_neg = ps.test_old_new, ps.test_new_new, ps.negative_samples
+    if getattr(cfg, "reorder", "none") != "none":
+        node_order = _node_order(cfg, tr_ei, n_old)
+        node_inverse = _inverse_order(node_order)
+        tr_ei = node_inverse[np.asarray(tr_ei, np.int64)]
+        tr_x = np.asarray(tr_x)[node_order]
+        val_pos = node_inverse[np.asarray(val_pos, np.int64)]
+        val_neg = node_inverse[np.asarray(val_neg, np.int64)]
+        inf_order = _node_order(cfg, inf_ei, n_all)
+        inf_inverse = _inverse_order(inf_order)
+        inf_ei = inf_inverse[np.asarray(inf_ei, np.int64)]
+        inf_x_rows = np.asarray(inf_x_rows)[inf_order]
+        t_merged, t_oo, t_on, t_nn, t_neg = (
+            inf_inverse[np.asarray(a, np.int64)]
+            for a in (t_merged, t_oo, t_on, t_nn, t_neg)
+        )
+
     train_graph = build_graph(
-        ps.training_edge_index, n_old, pad_to_multiple=_edge_pad_multiple(cfg)
+        tr_ei, n_old, pad_to_multiple=_edge_pad_multiple(cfg)
     )
-    inf_graph = build_graph(ps.inference_edge_index, n_all)
-    train_x = jnp.asarray(ps.training_x)
-    inf_x = jnp.asarray(ps.inference_x)
+    inf_graph = build_graph(inf_ei, n_all)
+    train_x = jnp.asarray(tr_x)
+    inf_x = jnp.asarray(inf_x_rows)
 
     # Training positives = the (symmetric) message edges, like the reference's
     # pos_train_edge = data.edge_index.t() (train_teacher_gnn.py:26-27).
-    pos_edges = jnp.asarray(ps.training_edge_index.T.astype(np.int32))
+    pos_edges = jnp.asarray(tr_ei.T.astype(np.int32))
     if n_old <= MAX_EXACT_NODES:
-        neg_keys = jnp.asarray(edge_hash_keys(ps.training_edge_index, n_old))
+        neg_keys = jnp.asarray(edge_hash_keys(tr_ei, n_old))
     else:
         neg_keys = jnp.zeros((1,), jnp.int32)
 
     test_edges = {
-        "merged": jnp.asarray(ps.test_merged.T.astype(np.int32)),
-        "old_old": jnp.asarray(ps.test_old_old.T.astype(np.int32)),
-        "old_new": jnp.asarray(ps.test_old_new.T.astype(np.int32)),
-        "new_new": jnp.asarray(ps.test_new_new.T.astype(np.int32)),
-        "neg": jnp.asarray(ps.negative_samples.T.astype(np.int32)),
+        "merged": jnp.asarray(t_merged.T.astype(np.int32)),
+        "old_old": jnp.asarray(t_oo.T.astype(np.int32)),
+        "old_new": jnp.asarray(t_on.T.astype(np.int32)),
+        "new_new": jnp.asarray(t_nn.T.astype(np.int32)),
+        "neg": jnp.asarray(t_neg.T.astype(np.int32)),
     }
     return dict(
         ds=ds,
@@ -295,11 +370,13 @@ def prepare_production(cfg):
         inf_x=inf_x,
         pos_edges=pos_edges,
         neg_keys=neg_keys,
-        val_pos=jnp.asarray(ps.val_pos.T.astype(np.int32)),
-        val_neg=jnp.asarray(ps.val_neg.T.astype(np.int32)),
+        val_pos=jnp.asarray(val_pos.T.astype(np.int32)),
+        val_neg=jnp.asarray(val_neg.T.astype(np.int32)),
         test_edges=test_edges,
         num_pos=int(pos_edges.shape[0]),
         split_name="do_production_edge_split:seed=234",
+        node_order=node_order,
+        node_inverse=node_inverse,
     )
 
 
@@ -580,6 +657,16 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     artifact_dirty = False
     t0 = time.time()
 
+    def _export_features(bh):
+        # Artifacts live in the dataset's ORIGINAL id space so runs with
+        # different --reorder settings interoperate (the student and the
+        # serving CLI each map into their own relabeled space on load).
+        if data.get("node_inverse") is None:
+            return bh
+        return jnp.take(
+            jnp.asarray(bh), jnp.asarray(data["node_inverse"]), axis=0
+        )
+
     def flush_artifact():
         # Persist the pending best-val artifact alongside train-state
         # snapshots: without this, a crash after the best epoch loses the
@@ -590,7 +677,8 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
         if artifact_dirty and best_artifact is not None:
             bp, bh, bmeta = best_artifact
             save_checkpoint(
-                _teacher_ckpt_path(cfg), {"params": bp, "features": bh},
+                _teacher_ckpt_path(cfg),
+                {"params": bp, "features": _export_features(bh)},
                 meta=bmeta,
             )
             artifact_dirty = False
@@ -741,7 +829,8 @@ def run_teacher(cfg: TeacherConfig, *, max_epochs: Optional[int] = None, verbose
     if best_artifact is not None:
         bp, bh, bmeta = best_artifact
         save_checkpoint(
-            _teacher_ckpt_path(cfg), {"params": bp, "features": bh}, meta=bmeta
+            _teacher_ckpt_path(cfg),
+            {"params": bp, "features": _export_features(bh)}, meta=bmeta,
         )
 
     stats = {k: lg.statistics() for k, lg in loggers.items()}
@@ -773,6 +862,11 @@ def run_student(cfg: StudentConfig, *, max_epochs: Optional[int] = None, verbose
 
     ckpt, meta = load_checkpoint(_teacher_ckpt_path(cfg))
     t_params, t_h = ckpt["params"], jnp.asarray(ckpt["features"])
+    if data.get("node_order") is not None:
+        # Teacher features are stored in the dataset's original id space;
+        # gather them into this run's relabeled space (row i = old node
+        # node_order[i]) so they align with data["x"] and the batches.
+        t_h = jnp.take(t_h, jnp.asarray(data["node_order"]), axis=0)
     teacher_pred = t_params["predictor"]
 
     node_bs = cfg.coupled_node_batch_size(n, data["num_pos"])

@@ -75,6 +75,18 @@ class CommonConfig:
     #   "halo" — node features SHARDED by owner with halo boundary exchange
     #            (teacher SAGE only; the N·D-doesn't-fit regime).
     sharding: str = "dp"
+    # Node-id relabeling applied at data-prep time.  An isomorphism: metrics
+    # are unchanged and artifacts (teacher feature tables) are exported back
+    # in the dataset's original id space, so runs with different reorder
+    # settings interoperate.  "locality": the balanced locality partitioner
+    # (data/partition.py) — clusters become contiguous id ranges, shrinking
+    # halo-sharding exchange volume and clustering the SpMM sender gathers.
+    # "rcm": Reverse Cuthill–McKee (data/reorder.py).
+    reorder: str = "none"  # 'none' | 'locality' | 'rcm'
+    # Cluster count for reorder='locality'.  0 = auto: num_devices when
+    # multi-device (halo range boundaries then coincide with the partition),
+    # else 64 (pure cache-locality clustering).
+    reorder_parts: int = 0
 
     @property
     def hits_ks(self) -> Tuple[int, ...]:
@@ -94,6 +106,10 @@ class CommonConfig:
             raise ValueError(f"num_devices must be >= 1, got {self.num_devices}")
         if self.sharding not in ("dp", "halo"):
             raise ValueError(f"sharding must be 'dp' or 'halo', got {self.sharding!r}")
+        if self.reorder not in ("none", "locality", "rcm"):
+            raise ValueError(
+                f"reorder must be 'none', 'locality' or 'rcm', got {self.reorder!r}"
+            )
         if self.epochs_per_jit > 1 and max(self.eval_steps, 1) % self.epochs_per_jit:
             raise ValueError(
                 f"epochs_per_jit={self.epochs_per_jit} must divide "
