@@ -47,11 +47,13 @@ def main(argv=None):
                    help="retrieval scoring dtype (fp32 merges; ~2x for the "
                         "'mlp' decoder)")
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8"],
-                   help="store the embedding table per-row int8: 4x "
-                        "less HBM at ~1pp recall@10 cost; pair scoring 1.17x "
-                        "(at the gather floor), retrieval speed-neutral "
-                        "(scripts/bench_quant.py)")
+                   choices=["none", "int8", "int4"],
+                   help="store the embedding table per-row quantized: int8 "
+                        "= 4x less HBM at ~1pp recall@10 cost (pair scoring "
+                        "1.17x, retrieval speed-neutral — "
+                        "scripts/bench_quant.py); int4 = packed nibbles, 8x "
+                        "less HBM at a larger measured recall cost "
+                        "(tests/test_quant.py int4 gates + BASELINE.md)")
     p.add_argument("--reencode", action="store_true",
                    help="GNN checkpoints: re-encode over the dataset's full "
                         "edge set (inductive serving) instead of serving the "
@@ -180,10 +182,10 @@ def main(argv=None):
     # its ServingState instead — quantizing before the branch kept an unused
     # extra int8 copy alive for the daemon's lifetime).
     table = h
-    if args.quantize == "int8":
+    if args.quantize in ("int8", "int4"):
         from llp_tpu.serve.quant import quantize_table
 
-        table = quantize_table(h)
+        table = quantize_table(h, bits=int(args.quantize[3:]))
 
     if args.topk and args.queries:
         qi = np.array([int(s) for s in args.queries.split(",")], np.int32)

@@ -414,7 +414,7 @@ def make_sharded_topk_partners(
             # below: a bf16 round-trip flips codes by ±1.
             from llp_tpu.serve.quant import quantize_rows
 
-            q_codes, q_scale = quantize_rows(q_h)
+            q_codes, q_scale = quantize_rows(q_h, bits=h_shard.bits)
         if compute_dtype is not None:
             # Scoring in the reduced dtype (the 'mlp' decoder is FLOP-bound:
             # bf16 is its ~2x lever — llp_tpu.serve.engine semantics); the
@@ -444,6 +444,7 @@ def make_sharded_topk_partners(
             hp = QuantTable(
                 q=jnp.pad(h_shard.q, ((0, pad), (0, 0))),
                 scale=jnp.pad(h_shard.scale, (0, pad)),
+                bits=h_shard.bits,
             )
         else:
             hp = jnp.pad(h_shard, ((0, pad), (0, 0)))
@@ -473,7 +474,9 @@ def make_sharded_topk_partners(
         def block_scores(b0):
             gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
             if inner_dot and quant:
-                cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, blk, axis=0)
+                from llp_tpu.serve.quant import codes_slice
+
+                cq = codes_slice(hp, b0, blk)  # int4 unpacks after the read
                 cs = jax.lax.dynamic_slice_in_dim(hp.scale, b0, blk, axis=0)
                 scores = jax.lax.dot_general(
                     q_codes, cq, (((1,), (1,)), ((), ())),
@@ -493,7 +496,9 @@ def make_sharded_topk_partners(
                 )
 
                 if quant:
-                    cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, blk, axis=0)
+                    from llp_tpu.serve.quant import codes_slice
+
+                    cq = codes_slice(hp, b0, blk)
                     cs = jax.lax.dynamic_slice_in_dim(
                         hp.scale, b0, blk, axis=0
                     )
@@ -580,7 +585,9 @@ def make_sharded_topk_partners(
         from llp_tpu.serve.quant import QuantTable
 
         h_spec = (
-            QuantTable(q=P(axis), scale=P(axis))
+            # bits is a STATIC pytree field: the spec tree must carry the
+            # table's value or the shard_map treedefs mismatch.
+            QuantTable(q=P(axis), scale=P(axis), bits=h_sharded.bits)
             if isinstance(h_sharded, QuantTable)
             else P(axis)
         )

@@ -68,7 +68,7 @@ def _pad_table(h, block: int):
     if isinstance(h, QuantTable):
         qp, nb = _pad_rows(h.q, block)
         sp, _ = _pad_rows(h.scale, block)
-        return QuantTable(q=qp, scale=sp), nb
+        return QuantTable(q=qp, scale=sp, bits=h.bits), nb
     return _pad_rows(h, block)
 
 
@@ -224,7 +224,9 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
     # ever materializes.
     inner_dot = mode == "inner"
     if inner_dot and quant:
-        q_codes = jnp.take(h.q, query_ids, axis=0)        # (Q, H) int8
+        from llp_tpu.serve.quant import codes_rows
+
+        q_codes = codes_rows(h, query_ids)                # (Q, H) int8
         q_scale = jnp.take(h.scale, query_ids, axis=0)    # (Q,)
     # 'mlp' blocks with the fused Pallas kernel score Hadamard→MLP tiles
     # entirely in VMEM (raw logits; sigmoid deferred like 'inner') — the
@@ -235,7 +237,9 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
     def block_scores(b0):
         cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
         if inner_dot and quant:
-            cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, block, axis=0)
+            from llp_tpu.serve.quant import codes_slice
+
+            cq = codes_slice(hp, b0, block)  # int4 unpacks AFTER the read
             cs = jax.lax.dynamic_slice_in_dim(hp.scale, b0, block, axis=0)
             scores = jax.lax.dot_general(
                 q_codes, cq, (((1,), (1,)), ((), ())),
@@ -253,7 +257,12 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
             from llp_tpu.ops.pallas.mlp_topk_kernel import mlp_block_logits
 
             if quant:
-                cq = jax.lax.dynamic_slice_in_dim(hp.q, b0, block, axis=0)
+                # The fused kernel's in-VMEM dequant expects int8 codes;
+                # int4 blocks unpack first (codes_slice) — the HBM read is
+                # still the packed table.
+                from llp_tpu.serve.quant import codes_slice
+
+                cq = codes_slice(hp, b0, block)
                 cs = jax.lax.dynamic_slice_in_dim(hp.scale, b0, block, axis=0)
                 scores = mlp_block_logits(params["lins"], q_h, cq, scales=cs)
             else:

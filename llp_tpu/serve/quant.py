@@ -26,6 +26,7 @@ tables are a deployment memory/bandwidth format, training stays fp32.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple, Union
 
 import jax
@@ -36,61 +37,121 @@ from flax import struct
 
 @struct.dataclass
 class QuantTable:
-    """Per-row symmetric int8 embedding table (a jit-able pytree).
+    """Per-row symmetric int8 / packed-int4 embedding table (a jit-able
+    pytree).
 
-    ``q``: (N, H) int8 codes; ``scale``: (N,) float32 per-row dequant factor
-    (``h ≈ q * scale[:, None]``).
+    ``bits=8``: ``q`` is (N, H) int8 codes.  ``bits=4``: ``q`` is (N, H/2)
+    uint8 with two two's-complement nibbles per byte (low nibble = even
+    column) — 8x less table HBM than fp32.  ``scale``: (N,) float32 per-row
+    dequant factor (``h ≈ codes * scale[:, None]``).
     """
 
     q: jnp.ndarray
     scale: jnp.ndarray
+    bits: int = struct.field(pytree_node=False, default=8)
 
     @property
-    def shape(self) -> Tuple[int, int]:
-        return self.q.shape
+    def shape(self) -> Tuple[int, int]:  # LOGICAL shape (N, H)
+        n, w = self.q.shape
+        return (n, w * 2) if self.bits == 4 else (n, w)
 
     @property
     def dtype(self):  # tables report their STORAGE dtype
         return self.q.dtype
 
     @property
+    def fmt(self) -> str:
+        return f"int{self.bits}"
+
+    @property
     def nbytes(self) -> int:
-        return int(self.q.size + self.scale.size * 4)
+        return int(self.q.size * self.q.dtype.itemsize + self.scale.size * 4)
 
 
 TableLike = Union[jnp.ndarray, QuantTable]
 
 
-def quantize_rows(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row absmax int8 quantization: ``(codes, scales)`` for (M, H) rows.
+def _levels(bits: int) -> int:
+    if bits == 8:
+        return 127
+    if bits == 4:
+        return 7
+    raise ValueError(f"bits must be 8 or 4, got {bits}")
 
+
+def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """(M, H) int8 codes in [-7, 7] -> (M, H/2) uint8 two's-complement
+    nibbles (low nibble = even column).  H must be even."""
+    assert codes.shape[-1] % 2 == 0, "int4 packing needs an even H"
+    u = codes.astype(jnp.uint8) & jnp.uint8(0xF)
+    return u[..., 0::2] | (u[..., 1::2] << 4)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """(M, H/2) uint8 -> (M, H) int8 codes (sign-extended nibbles)."""
+    lo = (packed & jnp.uint8(0xF)).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    out = jnp.stack([lo, hi], axis=-1)  # (..., H/2, 2)
+    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def quantize_rows(
+    h: jnp.ndarray, bits: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row absmax quantization: ``(codes, scales)`` for (M, H) rows.
+
+    Codes are UNPACKED int8 in [-L, L] (L = 127 for int8, 7 for int4).
     Traceable expression (no jit wrapper) so it composes inside shard_map /
     other jitted programs.  Requantizing rows that were DEQUANTIZED from an
-    absmax table is exact: a dequantized row is ``q * s`` with
-    ``max|q| = 127``, so its absmax is ``127 s`` and the recovered scale and
-    codes equal the originals bit-for-bit (zero rows keep s=1, q=0).
+    absmax table is exact at either width: a dequantized row is ``q * s``
+    with ``max|q| = L``, so its absmax is ``L s`` and the recovered scale
+    and codes equal the originals bit-for-bit (zero rows keep s=1, q=0).
     """
+    lv = _levels(bits)
     a = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=1)
-    scale = jnp.where(a > 0, a / 127.0, 1.0)
+    scale = jnp.where(a > 0, a / lv, 1.0)
     q = jnp.round(h.astype(jnp.float32) / scale[:, None])
     return (
-        jnp.clip(q, -127, 127).astype(jnp.int8),
+        jnp.clip(q, -lv, lv).astype(jnp.int8),
         scale.astype(jnp.float32),
     )
 
 
-@jax.jit
-def quantize_table(h: jnp.ndarray) -> QuantTable:
-    """Per-row absmax int8 quantization of an (N, H) embedding table."""
-    q, scale = quantize_rows(h)
-    return QuantTable(q=q, scale=scale)
+@functools.partial(jax.jit, static_argnames=("bits",))
+def quantize_table(h: jnp.ndarray, bits: int = 8) -> QuantTable:
+    """Per-row absmax quantization of an (N, H) embedding table.
+
+    ``bits=8``: int8 codes (4x less HBM than fp32, ~1pp recall@10 cost —
+    BASELINE.md).  ``bits=4``: packed nibbles (8x less HBM; recall cost
+    measured in tests/test_quant.py + BASELINE.md int4 section).
+    """
+    q, scale = quantize_rows(h, bits)
+    if bits == 4:
+        q = pack_int4(q)
+    return QuantTable(q=q, scale=scale, bits=bits)
+
+
+def codes_rows(table: QuantTable, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather UNPACKED int8 codes for arbitrary rows (int4 unpacks after
+    the gather — the HBM read stays packed)."""
+    rows = jnp.take(table.q, idx, axis=0)
+    return unpack_int4(rows) if table.bits == 4 else rows
+
+
+def codes_slice(table: QuantTable, start, size: int) -> jnp.ndarray:
+    """UNPACKED int8 codes for a contiguous row block."""
+    rows = jax.lax.dynamic_slice_in_dim(table.q, start, size, axis=0)
+    return unpack_int4(rows) if table.bits == 4 else rows
 
 
 def dequantize_rows(
     table: QuantTable, idx: jnp.ndarray, *, dtype=jnp.float32
 ) -> jnp.ndarray:
-    """Gather + dequantize rows: reads 1/4 the bytes of an fp32 gather."""
-    rows = jnp.take(table.q, idx, axis=0).astype(jnp.float32)
+    """Gather + dequantize rows: reads 1/4 (int8) or 1/8 (int4) the bytes
+    of an fp32 gather."""
+    rows = codes_rows(table, idx).astype(jnp.float32)
     s = jnp.take(table.scale, idx, axis=0)
     return (rows * s[..., None]).astype(dtype)
 
@@ -99,9 +160,9 @@ def dequantize_slice(
     table: QuantTable, start, size: int, *, dtype=jnp.float32
 ) -> jnp.ndarray:
     """Dequantize a contiguous row block (the retrieval candidate slice)."""
-    rows = jax.lax.dynamic_slice_in_dim(table.q, start, size, axis=0)
+    rows = codes_slice(table, start, size).astype(jnp.float32)
     s = jax.lax.dynamic_slice_in_dim(table.scale, start, size, axis=0)
-    return (rows.astype(jnp.float32) * s[:, None]).astype(dtype)
+    return (rows * s[:, None]).astype(dtype)
 
 
 def int8_dot_scores(
@@ -115,16 +176,16 @@ def int8_dot_scores(
     rank-1 scale grid ``s_q s_c`` restores magnitudes.  N pads to
     ``pad_to`` with zero rows (score contribution 0, maskable by id).
     """
-    n, h_dim = table.q.shape
+    n = table.q.shape[0]
     n_pad = -(-n // pad_to) * pad_to
-    qp = table.q
+    qp = unpack_int4(table.q) if table.bits == 4 else table.q
     sp = table.scale
     if n_pad != n:
         qp = jnp.concatenate(
-            [qp, jnp.zeros((n_pad - n, h_dim), jnp.int8)], axis=0
+            [qp, jnp.zeros((n_pad - n, qp.shape[1]), jnp.int8)], axis=0
         )
         sp = jnp.concatenate([sp, jnp.zeros((n_pad - n,), jnp.float32)])
-    q_rows = jnp.take(table.q, query_idx, axis=0)  # (Q, H) int8
+    q_rows = codes_rows(table, query_idx)  # (Q, H) int8
     s_q = jnp.take(table.scale, query_idx, axis=0)  # (Q,)
     dots = jax.lax.dot_general(
         q_rows,
@@ -146,5 +207,8 @@ def table_dim(h: TableLike) -> int:
 def as_numpy_dense(h: TableLike) -> np.ndarray:
     """Materialize the fp32 view (test/debug aid — O(N·H·4) host bytes)."""
     if isinstance(h, QuantTable):
-        return np.asarray(h.q, np.float32) * np.asarray(h.scale)[:, None]
+        codes = (
+            np.asarray(unpack_int4(h.q)) if h.bits == 4 else np.asarray(h.q)
+        )
+        return codes.astype(np.float32) * np.asarray(h.scale)[:, None]
     return np.asarray(h, np.float32)

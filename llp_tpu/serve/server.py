@@ -73,15 +73,16 @@ class ServingState:
                  fused: bool = False, max_queries: int = 4096,
                  max_pairs: int = 1 << 20, quantize: str = "none"):
         self.params = predictor_params
-        if quantize == "int8":
-            # Per-row int8 table: 4x less HBM, ~1pp recall@10 cost (measured —
-            # see llp_tpu.serve.quant); retrieval/scoring dequantize on the
-            # fly.
+        if quantize in ("int8", "int4"):
+            # Per-row quantized table: 4x (int8, ~1pp recall@10) or 8x
+            # (int4 packed nibbles) less HBM than fp32 — see
+            # llp_tpu.serve.quant; retrieval/scoring dequantize on the fly
+            # ('inner' dots run on the codes directly).
             import jax.numpy as jnp
 
             from llp_tpu.serve.quant import quantize_table
 
-            h = quantize_table(jnp.asarray(h))
+            h = quantize_table(jnp.asarray(h), bits=int(quantize[3:]))
         elif quantize != "none":
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.h = h
@@ -198,25 +199,27 @@ class ShardedServingState(ServingState):
         n = int(h.shape[0])
         ndev = mesh.shape[axis]
         pad = (-n) % ndev
-        if quantize == "int8":
+        if quantize in ("int8", "int4"):
             # Quantize the REAL rows first (per-row scales), then pad with
             # zero codes/scales (dequantized pad rows are exactly 0) and
             # shard both planes by owner.
             from llp_tpu.serve.quant import QuantTable, quantize_table
 
-            qt = quantize_table(jnp.asarray(h))
+            qt = quantize_table(jnp.asarray(h), bits=int(quantize[3:]))
             if pad:
                 qt = QuantTable(
                     q=jnp.concatenate(
-                        [qt.q, jnp.zeros((pad, qt.q.shape[1]), jnp.int8)]
+                        [qt.q, jnp.zeros((pad, qt.q.shape[1]), qt.q.dtype)]
                     ),
                     scale=jnp.concatenate(
                         [qt.scale, jnp.zeros((pad,), jnp.float32)]
                     ),
+                    bits=qt.bits,
                 )
             h = QuantTable(
                 q=jax.device_put(qt.q, NamedSharding(mesh, P(axis, None))),
                 scale=jax.device_put(qt.scale, NamedSharding(mesh, P(axis))),
+                bits=qt.bits,
             )
         elif quantize == "none":
             if pad:
@@ -384,7 +387,10 @@ def _make_handler(state: ServingState, max_queue: int = MAX_QUEUE,
                 self._reply(200, {
                     "status": "ok", "nodes": state.num_nodes,
                     "dim": state.dim, "mode": state.mode,
-                    "table_dtype": str(np.dtype(state.h.dtype)),
+                    "table_dtype": (
+                        state.h.fmt if hasattr(state.h, "fmt")
+                        else str(np.dtype(state.h.dtype))
+                    ),
                     "requests": state.requests,
                     "device_calls": engine.batched_calls,
                     "batched_requests": engine.batched_requests,
