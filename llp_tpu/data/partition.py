@@ -31,14 +31,20 @@ import numpy as np
 from llp_tpu.native import lib as native
 
 
-def bfs_order(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
+def bfs_order(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    csr: tuple | None = None,
+) -> np.ndarray:
     """Deterministic BFS node order; isolated nodes last.
 
     Seeds ascend by node id over degree>0 components; each BFS level is
     emitted in ascending id order (np.unique).  Vectorized per level.
+    ``csr``: optional prebuilt (row_ptr, col) — callers that already built
+    the CSR (partition_assign) skip a second O(E) sort.
     """
     edge_index = np.asarray(edge_index, dtype=np.int64)
-    row_ptr, col = native.build_csr(
+    row_ptr, col = csr if csr is not None else native.build_csr(
         edge_index[0].astype(np.int32), edge_index[1].astype(np.int32),
         num_nodes,
     )
@@ -131,7 +137,7 @@ def partition_assign(
         if ml is not None:
             candidates.append(ml)
     if method in ("auto", "flat"):
-        order = bfs_order(edge_index, num_nodes)
+        order = bfs_order(edge_index, num_nodes, csr=(row_ptr, col))
         candidates.append(native.partition_graph(
             row_ptr, col, num_parts, max_passes, cap, cap2, order
         ))

@@ -486,7 +486,12 @@ def top_k_partners(
     if compute_dtype is not None:
         cdtype = jnp.dtype(compute_dtype).name
         cdtype = None if cdtype == h.dtype.name else getattr(jnp, cdtype)
-    if approx and mode == "inner":
+    int4 = isinstance(h, QuantTable) and h.bits == 4
+    if approx and mode == "inner" and not int4:
+        # int4 tables skip the single-pass path: int8_dot_scores would
+        # unpack the WHOLE table to (N, H) int8 for its one matmul,
+        # forfeiting the packed format's memory/bandwidth edge; the blocked
+        # scan below unpacks one candidate block at a time instead.
         q = int(query_ids.shape[0])
         npad = -(-n // 512) * 512
         if q * npad * 4 <= _SINGLE_PASS_SCORE_BYTES:

@@ -82,7 +82,11 @@ def _levels(bits: int) -> int:
 def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
     """(M, H) int8 codes in [-7, 7] -> (M, H/2) uint8 two's-complement
     nibbles (low nibble = even column).  H must be even."""
-    assert codes.shape[-1] % 2 == 0, "int4 packing needs an even H"
+    if codes.shape[-1] % 2:
+        raise ValueError(
+            f"int4 packing needs an even hidden dim, got H={codes.shape[-1]} "
+            "(quantize='int8' supports any width)"
+        )
     u = codes.astype(jnp.uint8) & jnp.uint8(0xF)
     return u[..., 0::2] | (u[..., 1::2] << 4)
 
@@ -178,13 +182,19 @@ def int8_dot_scores(
     """
     n = table.q.shape[0]
     n_pad = -(-n // pad_to) * pad_to
-    qp = unpack_int4(table.q) if table.bits == 4 else table.q
+    qp = table.q
     sp = table.scale
-    if n_pad != n:
+    if n_pad != n:  # pad the PACKED codes, then unpack once (padding after
+        # unpacking would hold two full unpacked copies live at once)
         qp = jnp.concatenate(
-            [qp, jnp.zeros((n_pad - n, qp.shape[1]), jnp.int8)], axis=0
+            [qp, jnp.zeros((n_pad - n, qp.shape[1]), qp.dtype)], axis=0
         )
         sp = jnp.concatenate([sp, jnp.zeros((n_pad - n,), jnp.float32)])
+    if table.bits == 4:
+        # Whole-table unpack (transient (N, H) int8): acceptable here only
+        # because top_k_partners routes int4 tables to the BLOCKED path
+        # (per-block unpack); this function serves direct callers/tests.
+        qp = unpack_int4(qp)
     q_rows = codes_rows(table, query_idx)  # (Q, H) int8
     s_q = jnp.take(table.scale, query_idx, axis=0)  # (Q,)
     dots = jax.lax.dot_general(

@@ -15,6 +15,10 @@ BEFORE any kernel is built.  Pure CPU/numpy.
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon ignores env JAX_PLATFORMS
+
 import numpy as np
 from llp_tpu.data.synthetic import sbm_graph
 

@@ -72,9 +72,13 @@ def write_block(out_q, out_s, start, q, s):
 t0 = time.time()
 out_q = jnp.zeros((N, H // 2), jnp.uint8)
 out_s = jnp.zeros((N,), jnp.float32)
-for i in range(N // BLOCK_BUILD):
+for i, start in enumerate(range(0, N, BLOCK_BUILD)):
     q, s = build_block4(jax.random.fold_in(jax.random.PRNGKey(7), i))
-    out_q, out_s = write_block(out_q, out_s, jnp.int32(i * BLOCK_BUILD), q, s)
+    rem = min(BLOCK_BUILD, N - start)
+    if rem < BLOCK_BUILD:  # tail block: write only the real rows (a full
+        q, s = q[:rem], s[:rem]  # block write would read out of bounds and
+        # a skipped tail would leave zero-code rows scoring sigmoid(0)=0.5)
+    out_q, out_s = write_block(out_q, out_s, jnp.int32(start), q, s)
 qt = QuantTable(q=out_q, scale=out_s, bits=4)
 _ = int(np.asarray(qt.q[-1, -1]))
 log(f"int4 table built: logical {qt.shape} packed {qt.q.shape} "
