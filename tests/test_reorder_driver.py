@@ -219,3 +219,29 @@ def test_halo_with_locality_reorder(tmp_path):
     m0 = build_halo_partition(prepare_transductive(cfg0)["graph"], 8).m
     m1 = build_halo_partition(prepare_transductive(cfg1)["graph"], 8).m
     assert m1 < m0
+
+
+def test_weighted_spmm_invariant_under_relabel():
+    """Edge weights stay COLUMN-aligned under an endpoint relabel (the
+    driver passes the same weight vector to build_graph after relabeling
+    message_ei endpoints) — the weighted mean aggregate must be the same
+    function up to the row permutation."""
+    from llp_tpu.core.graph import build_graph
+    from llp_tpu.data.partition import locality_order
+    from llp_tpu.data.synthetic import sbm_graph
+    from llp_tpu.ops.spmm import spmm
+
+    n = 60
+    ei, _ = sbm_graph(n, 3, 5.0, seed=9)
+    rng = np.random.default_rng(1)
+    w = rng.random(ei.shape[1]).astype(np.float32) + 0.1
+    g0 = build_graph(ei, n, edge_weight=w)
+    order = locality_order(ei, n, 4)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    g1 = build_graph(inv[ei], n, edge_weight=w)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    y0 = np.asarray(spmm(g0, x, "mean", edge_weight=g0.edge_weight))
+    y1 = np.asarray(spmm(g1, x[order], "mean", edge_weight=g1.edge_weight))
+    # new row i holds old node order[i]; map back and compare
+    np.testing.assert_allclose(y1[inv], y0, rtol=2e-5, atol=2e-5)
