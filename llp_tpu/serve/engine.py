@@ -62,16 +62,6 @@ def _pad_rows(a: jnp.ndarray, block: int) -> Tuple[jnp.ndarray, int]:
     return a, nb
 
 
-def _pad_table(h, block: int):
-    """`_pad_rows` over a plain table or a :class:`QuantTable` (both codes
-    and scales pad with zeros: dequantized pad rows are exactly 0)."""
-    if isinstance(h, QuantTable):
-        qp, nb = _pad_rows(h.q, block)
-        sp, _ = _pad_rows(h.scale, block)
-        return QuantTable(q=qp, scale=sp, bits=h.bits), nb
-    return _pad_rows(h, block)
-
-
 def _take_rows(h, idx, dtype=None):
     """Row gather from a plain or int8-quantized table (dequantized)."""
     if isinstance(h, QuantTable):
@@ -213,7 +203,13 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
         params = jax.tree_util.tree_map(lambda a: a.astype(cdtype), params)
     q_h = _take_rows(h, query_ids, dtype=cdtype)  # (Q, H)
     q = q_h.shape[0]
-    hp, nb = _pad_table(h, block)
+    # No padded table copy: padding to a block multiple materializes a
+    # SECOND full table inside the jit (at 100M int4 rows that is +6.8 GB —
+    # the copy OOM'd the one-chip scale check).  Instead the last block's
+    # start CLAMPS to n - block and the rows it re-reads (already covered
+    # by the previous block) are masked invalid — exact, duplicate-free.
+    hp = h
+    nb = -(-n // block)
     # 'inner' blocks score as ONE (Q,H)x(H,B) matmul on raw dots (sigmoid is
     # monotone — applied to the k winners at the end).  The generic
     # predictor expression broadcasts a (Q,B,H) Hadamard intermediate that
@@ -235,7 +231,10 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
     raw_scores = inner_dot or (mlp_fused and mode == "mlp")
 
     def block_scores(b0):
-        cand_ids = b0 + jnp.arange(block, dtype=jnp.int32)
+        b0c = jnp.maximum(0, jnp.minimum(b0, np.int32(n - block)))  # clamp
+        overlap = b0 - b0c  # rows [0, overlap) were the previous block's
+        cand_ids = b0c + jnp.arange(block, dtype=jnp.int32)
+        b0 = b0c
         if inner_dot and quant:
             from llp_tpu.serve.quant import codes_slice
 
@@ -279,7 +278,10 @@ def _topk_blocked(params, h, query_ids, *, mode: str, k: int, block: int,
                 params, q_h[:, None, :], cand[None, :, :], mode=mode,
                 train=False,
             )  # (Q, B)
-        invalid = cand_ids[None, :] >= n
+        invalid = (
+            (cand_ids[None, :] >= n)
+            | (jnp.arange(block, dtype=jnp.int32)[None, :] < overlap)
+        )
         if exclude_self:
             invalid = invalid | (cand_ids[None, :] == query_ids[:, None])
         return jnp.where(invalid, -jnp.inf, scores.astype(jnp.float32)), cand_ids
