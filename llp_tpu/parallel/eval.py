@@ -439,15 +439,10 @@ def make_sharded_topk_partners(
             blk = block
         blk = min(blk, nl)
         nb = -(-nl // blk)
-        pad = nb * blk - nl
-        if quant:
-            hp = QuantTable(
-                q=jnp.pad(h_shard.q, ((0, pad), (0, 0))),
-                scale=jnp.pad(h_shard.scale, (0, pad)),
-                bits=h_shard.bits,
-            )
-        else:
-            hp = jnp.pad(h_shard, ((0, pad), (0, 0)))
+        # No padded shard copy (the engine's no-pad rationale at scale):
+        # the last block's start clamps to nl - blk and the overlap rows
+        # the previous block already covered are masked invalid.
+        hp = h_shard
         base = jax.lax.axis_index(axis).astype(jnp.int32) * nl
         q = q_h.shape[0]
 
@@ -472,6 +467,9 @@ def make_sharded_topk_partners(
         raw_scores = inner_dot or use_fused
 
         def block_scores(b0):
+            b0c = jnp.maximum(0, jnp.minimum(b0, nl - blk)).astype(jnp.int32)
+            overlap = b0 - b0c  # rows [0, overlap) were the prior block's
+            b0 = b0c
             gid = base + b0 + jnp.arange(blk, dtype=jnp.int32)
             if inner_dot and quant:
                 from llp_tpu.serve.quant import codes_slice
@@ -516,8 +514,10 @@ def make_sharded_topk_partners(
                 else:
                     cand = jax.lax.dynamic_slice_in_dim(hp, b0, blk, axis=0)
                 scores = _score_block(params, q_h, cand, mode)
-            invalid = (gid[None, :] >= num_nodes) | (
-                b0 + jnp.arange(blk) >= nl
+            invalid = (
+                (gid[None, :] >= num_nodes)
+                | (b0 + jnp.arange(blk) >= nl)
+                | (jnp.arange(blk)[None, :] < overlap)
             )
             if exclude_self:
                 invalid = invalid | (gid[None, :] == query_ids[:, None])

@@ -40,10 +40,17 @@ class QuantTable:
     """Per-row symmetric int8 / packed-int4 embedding table (a jit-able
     pytree).
 
-    ``bits=8``: ``q`` is (N, H) int8 codes.  ``bits=4``: ``q`` is (N, H/2)
-    uint8 with two two's-complement nibbles per byte (low nibble = even
-    column) — 8x less table HBM than fp32.  ``scale``: (N,) float32 per-row
-    dequant factor (``h ≈ codes * scale[:, None]``).
+    ``bits=8``: ``q`` is (N, H) int8 codes.  ``bits=4``: ``q`` is
+    LANE-PACKED (ceil(N/2), H) uint8 — two two's-complement nibbles per
+    byte (low nibble = even column) and TWO logical rows per storage row
+    (row ``r`` occupies bytes ``[(r%2)·H/2, (r%2+1)·H/2)`` of storage row
+    ``r//2``) — 8x less table HBM than fp32.  The storage minor dim stays
+    the logical H, so the TPU (8,128)-lane tiling pads nothing at H>=128;
+    the naive (N, H/2) column layout tiled 2x at H=128 AND provoked a full
+    transposed XLA copy — +12 GB on the 100M-row scale check (the same
+    layout-padding class as the round-3 segsum local_ids bug).
+    ``scale``: (N,) float32 per-row dequant factor (``h ≈ codes *
+    scale[:, None]``); its length carries the logical N for bits=4.
     """
 
     q: jnp.ndarray
@@ -52,8 +59,9 @@ class QuantTable:
 
     @property
     def shape(self) -> Tuple[int, int]:  # LOGICAL shape (N, H)
-        n, w = self.q.shape
-        return (n, w * 2) if self.bits == 4 else (n, w)
+        if self.bits == 4:
+            return (self.scale.shape[0], self.q.shape[1])
+        return self.q.shape
 
     @property
     def dtype(self):  # tables report their STORAGE dtype
@@ -79,9 +87,8 @@ def _levels(bits: int) -> int:
     raise ValueError(f"bits must be 8 or 4, got {bits}")
 
 
-def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
-    """(M, H) int8 codes in [-7, 7] -> (M, H/2) uint8 two's-complement
-    nibbles (low nibble = even column).  H must be even."""
+def _pack_nibbles(codes: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) int8 in [-7, 7] -> (..., W/2) uint8 (low nibble = even col)."""
     if codes.shape[-1] % 2:
         raise ValueError(
             f"int4 packing needs an even hidden dim, got H={codes.shape[-1]} "
@@ -91,14 +98,38 @@ def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
     return u[..., 0::2] | (u[..., 1::2] << 4)
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """(M, H/2) uint8 -> (M, H) int8 codes (sign-extended nibbles)."""
+def _unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) uint8 -> (..., 2W) int8 codes (sign-extended nibbles)."""
     lo = (packed & jnp.uint8(0xF)).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    out = jnp.stack([lo, hi], axis=-1)  # (..., H/2, 2)
+    out = jnp.stack([lo, hi], axis=-1)  # (..., W, 2)
     return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """(M, H) int8 codes in [-7, 7] -> lane-packed (ceil(M/2), H) uint8.
+
+    Byte layout: nibble-pack each row to H/2 bytes, then place logical rows
+    2k and 2k+1 side by side in storage row k (a pure C-order reshape of
+    the (M, H/2) nibble array — the linearizations coincide).  Odd M pads
+    one zero half-row.  H must be even.
+    """
+    m = codes.shape[0]
+    nib = _pack_nibbles(codes)  # (M, H/2)
+    if m % 2:
+        nib = jnp.concatenate(
+            [nib, jnp.zeros((1, nib.shape[1]), jnp.uint8)], axis=0
+        )
+    return nib.reshape((m + 1) // 2, codes.shape[1])
+
+
+def unpack_int4(packed: jnp.ndarray, num_rows: int | None = None) -> jnp.ndarray:
+    """Lane-packed (R, H) uint8 -> (num_rows or 2R, H) int8 codes."""
+    r, h_dim = packed.shape
+    codes = _unpack_nibbles(packed.reshape(2 * r, h_dim // 2))
+    return codes if num_rows is None else codes[:num_rows]
 
 
 def quantize_rows(
@@ -138,16 +169,35 @@ def quantize_table(h: jnp.ndarray, bits: int = 8) -> QuantTable:
 
 
 def codes_rows(table: QuantTable, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather UNPACKED int8 codes for arbitrary rows (int4 unpacks after
-    the gather — the HBM read stays packed)."""
-    rows = jnp.take(table.q, idx, axis=0)
-    return unpack_int4(rows) if table.bits == 4 else rows
+    """Gather UNPACKED int8 codes for arbitrary rows (int4 gathers the
+    PACKED storage row holding the target — the HBM read stays packed)."""
+    if table.bits != 4:
+        return jnp.take(table.q, idx, axis=0)
+    h_dim = table.q.shape[1]
+    rows = jnp.take(table.q, idx // 2, axis=0)  # (M, H) u8: two logical rows
+    halves = rows.reshape(idx.shape[0], 2, h_dim // 2)
+    sel = jnp.take_along_axis(
+        halves, (idx % 2).astype(jnp.int32)[:, None, None], axis=1
+    )[:, 0]  # (M, H/2) — this row's nibble bytes
+    return _unpack_nibbles(sel)
 
 
 def codes_slice(table: QuantTable, start, size: int) -> jnp.ndarray:
-    """UNPACKED int8 codes for a contiguous row block."""
-    rows = jax.lax.dynamic_slice_in_dim(table.q, start, size, axis=0)
-    return unpack_int4(rows) if table.bits == 4 else rows
+    """UNPACKED int8 codes for a contiguous row block (``start`` may be a
+    traced scalar; ``size`` is static)."""
+    if table.bits != 4:
+        return jax.lax.dynamic_slice_in_dim(table.q, start, size, axis=0)
+    r_total, h_dim = table.q.shape
+    # Storage slice covering logical rows [start, start+size) for ANY start
+    # parity: size//2 + 1 storage rows, clamped in-bounds; the clamp shifts
+    # the logical offset, which the final static-size slice absorbs.
+    # (the +1 covers odd starts; when the whole storage is smaller — a
+    # tiny shard read in one block — start is necessarily 0 and even)
+    rs = min(size // 2 + 1, r_total)
+    r0 = jnp.maximum(0, jnp.minimum(start // 2, r_total - rs))
+    raw = jax.lax.dynamic_slice_in_dim(table.q, r0, rs, axis=0)  # (rs, H)
+    codes = _unpack_nibbles(raw.reshape(2 * rs, h_dim // 2))      # (2rs, H)
+    return jax.lax.dynamic_slice_in_dim(codes, start - 2 * r0, size, axis=0)
 
 
 def dequantize_rows(
@@ -180,21 +230,21 @@ def int8_dot_scores(
     rank-1 scale grid ``s_q s_c`` restores magnitudes.  N pads to
     ``pad_to`` with zero rows (score contribution 0, maskable by id).
     """
-    n = table.q.shape[0]
+    n = table.shape[0]
     n_pad = -(-n // pad_to) * pad_to
-    qp = table.q
-    sp = table.scale
-    if n_pad != n:  # pad the PACKED codes, then unpack once (padding after
-        # unpacking would hold two full unpacked copies live at once)
-        qp = jnp.concatenate(
-            [qp, jnp.zeros((n_pad - n, qp.shape[1]), qp.dtype)], axis=0
-        )
-        sp = jnp.concatenate([sp, jnp.zeros((n_pad - n,), jnp.float32)])
     if table.bits == 4:
         # Whole-table unpack (transient (N, H) int8): acceptable here only
         # because top_k_partners routes int4 tables to the BLOCKED path
         # (per-block unpack); this function serves direct callers/tests.
-        qp = unpack_int4(qp)
+        qp = unpack_int4(table.q, num_rows=n)
+    else:
+        qp = table.q
+    sp = table.scale
+    if n_pad != n:
+        qp = jnp.concatenate(
+            [qp, jnp.zeros((n_pad - n, qp.shape[1]), qp.dtype)], axis=0
+        )
+        sp = jnp.concatenate([sp, jnp.zeros((n_pad - n,), jnp.float32)])
     q_rows = codes_rows(table, query_idx)  # (Q, H) int8
     s_q = jnp.take(table.scale, query_idx, axis=0)  # (Q,)
     dots = jax.lax.dot_general(
@@ -218,7 +268,8 @@ def as_numpy_dense(h: TableLike) -> np.ndarray:
     """Materialize the fp32 view (test/debug aid — O(N·H·4) host bytes)."""
     if isinstance(h, QuantTable):
         codes = (
-            np.asarray(unpack_int4(h.q)) if h.bits == 4 else np.asarray(h.q)
+            np.asarray(unpack_int4(h.q, num_rows=h.shape[0]))
+            if h.bits == 4 else np.asarray(h.q)
         )
         return codes.astype(np.float32) * np.asarray(h.scale)[:, None]
     return np.asarray(h, np.float32)

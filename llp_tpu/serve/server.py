@@ -200,22 +200,21 @@ class ShardedServingState(ServingState):
         ndev = mesh.shape[axis]
         pad = (-n) % ndev
         if quantize in ("int8", "int4"):
-            # Quantize the REAL rows first (per-row scales), then pad with
-            # zero codes/scales (dequantized pad rows are exactly 0) and
-            # shard both planes by owner.
+            # Pad the fp32 rows FIRST (zero rows quantize to codes 0 /
+            # scale 1 — dequantized pads are exactly 0), then quantize and
+            # shard both planes by owner.  int4's lane-packed storage holds
+            # TWO logical rows per storage row, so its pad also makes every
+            # shard's logical row count even (storage shards stay aligned).
             from llp_tpu.serve.quant import QuantTable, quantize_table
 
-            qt = quantize_table(jnp.asarray(h), bits=int(quantize[3:]))
+            if quantize == "int4":
+                pad = (-n) % (2 * ndev)
+            hp = jnp.asarray(h)
             if pad:
-                qt = QuantTable(
-                    q=jnp.concatenate(
-                        [qt.q, jnp.zeros((pad, qt.q.shape[1]), qt.q.dtype)]
-                    ),
-                    scale=jnp.concatenate(
-                        [qt.scale, jnp.zeros((pad,), jnp.float32)]
-                    ),
-                    bits=qt.bits,
+                hp = jnp.concatenate(
+                    [hp, jnp.zeros((pad, hp.shape[1]), hp.dtype)]
                 )
+            qt = quantize_table(hp, bits=int(quantize[3:]))
             h = QuantTable(
                 q=jax.device_put(qt.q, NamedSharding(mesh, P(axis, None))),
                 scale=jax.device_put(qt.scale, NamedSharding(mesh, P(axis))),

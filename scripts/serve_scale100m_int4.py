@@ -59,26 +59,34 @@ import functools  # noqa: E402
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
-def write_block(out_q, out_s, start, q, s):
+def write_block(out_q, out_s, qstart, sstart, q, s):
     # Donated in-place writes: a concatenate of 50 blocks would transiently
     # double the 6.4 GB table; this keeps peak = table + one block.
-    # `start` is a traced scalar so one program serves every block.
+    # Starts are traced scalars so one program serves every block (codes
+    # index STORAGE rows = logical/2; scales index logical rows).
     return (
-        jax.lax.dynamic_update_slice_in_dim(out_q, q, start, 0),
-        jax.lax.dynamic_update_slice_in_dim(out_s, s, start, 0),
+        jax.lax.dynamic_update_slice_in_dim(out_q, q, qstart, 0),
+        jax.lax.dynamic_update_slice_in_dim(out_s, s, sstart, 0),
     )
 
 
 t0 = time.time()
-out_q = jnp.zeros((N, H // 2), jnp.uint8)
+# Lane-packed int4 storage: (ceil(N/2), H) uint8, two logical rows per
+# storage row (llp_tpu.serve.quant.QuantTable bits=4).  BLOCK_BUILD is
+# even, so block writes land on storage-row boundaries (start // 2).
+assert N % 2 == 0 and BLOCK_BUILD % 2 == 0
+out_q = jnp.zeros((N // 2, H), jnp.uint8)
 out_s = jnp.zeros((N,), jnp.float32)
 for i, start in enumerate(range(0, N, BLOCK_BUILD)):
     q, s = build_block4(jax.random.fold_in(jax.random.PRNGKey(7), i))
     rem = min(BLOCK_BUILD, N - start)
     if rem < BLOCK_BUILD:  # tail block: write only the real rows (a full
-        q, s = q[:rem], s[:rem]  # block write would read out of bounds and
-        # a skipped tail would leave zero-code rows scoring sigmoid(0)=0.5)
-    out_q, out_s = write_block(out_q, out_s, jnp.int32(start), q, s)
+        # block write would be rejected and a skipped tail would leave
+        # zero-code rows scoring sigmoid(0)=0.5)
+        q, s = q[: rem // 2], s[:rem]
+    out_q, out_s = write_block(
+        out_q, out_s, jnp.int32(start // 2), jnp.int32(start), q, s
+    )
 qt = QuantTable(q=out_q, scale=out_s, bits=4)
 _ = int(np.asarray(qt.q[-1, -1]))
 log(f"int4 table built: logical {qt.shape} packed {qt.q.shape} "
@@ -121,7 +129,8 @@ chain(
 # Recall sample: int4 vs exact-dequant ranking on a 1M-row slice (CPU-side
 # exact reference over 100M rows is not computable; the slice is the gate).
 M = min(1_000_000, N)
-sub = QuantTable(q=qt.q[:M], scale=qt.scale[:M], bits=4)
+sub = QuantTable(q=qt.q[: M // 2], scale=qt.scale[:M], bits=4)  # storage
+# rows = logical/2 (lane-packed)
 qi_s = jnp.asarray(rng.integers(0, M, 64).astype(np.int32))
 v4, i4 = top_k_partners(pred_inner, sub, qi_s, k=K_TOP, mode="inner",
                         approx=True)

@@ -287,18 +287,23 @@ def test_int4_pack_unpack_roundtrip():
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(-7, 8, size=(13, 10)), jnp.int8)
     packed = pack_int4(codes)
-    assert packed.shape == (13, 5) and packed.dtype == jnp.uint8
-    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)),
-                                  np.asarray(codes))
+    # lane-packed: TWO logical rows per storage row (odd M pads a half-row)
+    # so the storage minor dim stays the logical H — the (M, H/2) column
+    # layout tiled 2x on TPU lanes at H=128 (the 100M-scale OOM).
+    assert packed.shape == (7, 10) and packed.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(packed, num_rows=13)), np.asarray(codes)
+    )
 
 
 def test_int4_error_bound_and_layout(setup4):
     emb, qt, _ = setup4
     n, hd = emb.shape
-    assert qt.q.shape == (n, hd // 2) and qt.q.dtype == jnp.uint8
+    assert qt.q.shape == ((n + 1) // 2, hd) and qt.q.dtype == jnp.uint8
     assert qt.shape == (n, hd)  # LOGICAL shape
     assert qt.fmt == "int4"
-    assert qt.nbytes == n * hd // 2 + n * 4  # 8x smaller codes than fp32
+    # ~8x smaller codes than fp32 (one padded half-row at odd N)
+    assert qt.nbytes == ((n + 1) // 2) * hd + n * 4
     deq = as_numpy_dense(qt)
     err = np.abs(deq - np.asarray(emb))
     bound = np.asarray(qt.scale)[:, None] / 2 + 1e-6  # scale = absmax/7
