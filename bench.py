@@ -82,6 +82,10 @@ GATE_FLOORS = {
     # mlp int8+bf16 approx measured 553 at the default block (r3).
     "inner_approx_10m_int8_ms": 60.0,
     "mlp_approx_10m_int8_ms": 900.0,
+    # 10M-row int4 (lane-packed) table: per-block unpack + int8 MXU dots;
+    # the 100M run measured 515 ms over 382 blocks (~1.35 ms/block, r4s2)
+    # -> ~53 expected at 10M; floor catches the padded-layout/copy walls.
+    "inner_approx_10m_int4_ms": 150.0,
     # HTTP daemon, 8 concurrent clients, inner approx+bf16 topk on the 242MB
     # table: measured 52.2 req/s aggregate (r4, cross-request dynamic
     # batching; single-client is ~12-16).  Floor 25 = a broken batcher,
@@ -369,6 +373,21 @@ def bench_serving() -> dict:
           lambda qi, hp: top_k_partners(pred2, hp, qi, k=k_top, mode="mlp",
                                         approx=True, compute_dtype=bf),
           qt, n2)
+    del qt
+
+    # 10M-row int4 (lane-packed) table — the 8x-memory format (round 4 s2;
+    # 100M-on-one-chip validated in scripts/serve_scale100m_int4.py).
+    build4 = jax.jit(lambda key: quantize_table(
+        jax.random.normal(key, (2_000_000, h2d), jnp.float32), bits=4
+    ))
+    parts = [build4(jax.random.PRNGKey(50 + i)) for i in range(5)]
+    qt4 = QuantTable(q=jnp.concatenate([p.q for p in parts]),
+                     scale=jnp.concatenate([p.scale for p in parts]),
+                     bits=4)
+    del parts
+    chain("inner_approx_10m_int4_ms",
+          lambda qi, hp: top_k_partners(pred2_inner, hp, qi, k=k_top,
+                                        mode="inner", approx=True), qt4, n2)
     return out
 
 

@@ -45,6 +45,7 @@ def test_gate_floors_well_formed():
         "mlp_approx_235k_ms",
         "inner_approx_10m_int8_ms",
         "mlp_approx_10m_int8_ms",
+        "inner_approx_10m_int4_ms",
         "daemon_conc8_rps",
     }
     assert all(v > 0 for v in bench.GATE_FLOORS.values())
