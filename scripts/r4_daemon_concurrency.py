@@ -136,6 +136,20 @@ def main():
         with BackgroundServer(state) as srv:
             post(srv.port, path, payload)  # compile + warm
             post(srv.port, path, payload)
+            # Warm the whole MERGE-bucket ladder: out-of-phase clients make
+            # the worker merge 2 or 3 same-shape requests, whose padded
+            # buckets (512/1024 queries; 8k/16k pairs) differ from both the
+            # single-request bucket and the 4-merge the per-conc warmup
+            # produces — a cold bucket mid-measurement showed up as a
+            # single ~2.2 s compile outlier (p95 2216/2413 ms in the first
+            # r4s2 capture) that tanked one concurrency row per run.
+            for mult in (2, 3, 4, 8):
+                if "queries" in payload:
+                    big = {"queries": (queries * mult)[: 256 * mult],
+                           "k": payload["k"]}
+                else:
+                    big = {"pairs": (pairs * mult)[: 4096 * mult]}
+                post(srv.port, path, big)
             rows = []
             for conc in (1, 2, 4, 8):
                 per_client = max(8, 32 // conc)
