@@ -64,6 +64,15 @@ PINNED_CPU_COLD = 10_000.0
 # Values from BASELINE.md healthy-relay runs with ~40-50% headroom for
 # relay/tunnel variance (ms floors are CEILINGS: ok = value <= floor).
 GATE_FLOORS = {
+    # Absolute TEACHER throughput floors (round 5 — the headline metric was
+    # the only unguarded number; a kernel/layout regression could ship with
+    # gates_ok true).  Records: warm 9.03-9.19M (r3/r4 sessions), driver
+    # capture 8.88M; cold 714.1-714.5k.  Floors sit below the documented
+    # +-3% session-variance band; a real regression (e.g. the XLA SpMM
+    # fallback at ~2.25x slower, or the r3 local_ids padded layout) lands
+    # far under them.
+    "teacher_warm_edges_per_sec": 8.3e6,
+    "teacher_cold_edges_per_sec": 650e3,
     # collab-scale bf16 minibatch student measured 12.17M edges/s (driver
     # level, session 7); epoch-fn level here — floor at 6M.
     "student_bf16_edges_per_sec": 6.0e6,
@@ -463,8 +472,66 @@ def _cpu_baseline(spec, ei, x, pinned: float, k: int):
                                "pinned": pinned}
 
 
+def teacher_gates(warm_tpu: float, cold_tpu: float) -> dict:
+    """Absolute regression gates on the headline teacher numbers (round 5).
+
+    Pure function of the two measured rates so the gate logic itself is
+    unit-testable without a chip (tests/test_bench_surface.py)."""
+    wf = GATE_FLOORS["teacher_warm_edges_per_sec"]
+    cf = GATE_FLOORS["teacher_cold_edges_per_sec"]
+    return {
+        "teacher_warm_edges_per_sec": {
+            "value": round(warm_tpu, 1), "floor": wf,
+            "ok": bool(warm_tpu >= wf),
+        },
+        "teacher_cold_edges_per_sec": {
+            "value": round(cold_tpu, 1), "floor": cf,
+            "ok": bool(cold_tpu >= cf),
+        },
+    }
+
+
+def _parse_args(argv=None):
+    """--help/--dry-run guard (round-5 VERDICT weak #6): ANY bench invocation
+    used to run the TPU benchmark; argparse exits before jax ever imports, so
+    an accidental `python bench.py --help` can no longer open a TPU session
+    (the axon backend initializes at the first jax import-and-op, and every
+    client exit wedges the relay)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description=(
+            "llp_tpu round benchmark — teacher-train edges/s on the real "
+            "TPU chip vs a pinned torch-CPU baseline, plus student/serving/"
+            "daemon regression gates. Prints ONE JSON line. Running with no "
+            "flags RUNS THE BENCHMARK (opens a TPU session)."
+        ),
+        epilog=(
+            "Env knobs: LLP_BENCH_SCALES=warm[,cold] (default both on TPU); "
+            "LLP_BENCH_GATES=0 skips the student/serving gate suite."
+        ),
+    )
+    p.add_argument(
+        "--dry-run", action="store_true",
+        help="print the resolved config (scales, floors, env) and exit "
+             "WITHOUT initializing any jax backend or touching the TPU",
+    )
+    return p.parse_args(argv)
+
+
 def main():
+    args = _parse_args()
     scales = os.environ.get("LLP_BENCH_SCALES")
+    if args.dry_run:
+        print(json.dumps({
+            "dry_run": True,
+            "scales": scales or "warm,cold on TPU else warm",
+            "gates": os.environ.get("LLP_BENCH_GATES", "1"),
+            "warm": WARM, "cold": COLD,
+            "pinned_cpu": {"warm": PINNED_CPU_WARM, "cold": PINNED_CPU_COLD},
+            "gate_floors": GATE_FLOORS,
+        }))
+        return
     if scales is None:
         import jax
 
@@ -496,8 +563,15 @@ def main():
 
         # Round-3 regression gates: student + serving floors (TPU only —
         # the ms floors are chip measurements).  LLP_BENCH_GATES=0 skips.
+        # Round-5: the headline teacher numbers gate absolutely (they were
+        # the only unguarded metrics — VERDICT r4 weak #1).
+        extra["teacher_gates"] = teacher_gates(warm_tpu, cold_tpu)
+
         if os.environ.get("LLP_BENCH_GATES", "1") == "0":
             extra["gates"] = "skipped"  # explicit: green vs not-run
+            extra["gates_ok"] = bool(
+                all(v["ok"] for v in extra["teacher_gates"].values())
+            )
         else:
             stu = bench_student(COLD, ei_c, x_c)
             floor = GATE_FLOORS["student_bf16_edges_per_sec"]
@@ -511,6 +585,7 @@ def main():
             extra["gates_ok"] = bool(
                 extra["student"]["ok"]
                 and all(v["ok"] for v in extra["serving"].values())
+                and all(v["ok"] for v in extra["teacher_gates"].values())
             )
     else:
         # Warm-only invocation: the collab-scale gates need the cold problem.

@@ -184,6 +184,18 @@ def partition_graph(
         )
         return assign
     # numpy fallback: same algorithm, python loops (small graphs / no g++).
+    if n > 100_000:
+        import warnings
+
+        # O(max_passes * N * P) interpreter iterations: a million-node
+        # graph without g++ would look like a hang at data-prep time.
+        warnings.warn(
+            f"native sampler library unavailable (no g++?): partitioning "
+            f"{n} nodes with the pure-python fallback — this is "
+            f"O(passes*N*P) interpreter work and may take hours at this "
+            f"scale; install g++ so llp_tpu can compile native/sampler.cpp.",
+            RuntimeWarning, stacklevel=2,
+        )
     assign[:] = -1
     load = np.zeros(num_parts, np.int64)
     nb = np.zeros(num_parts, np.int64)

@@ -482,7 +482,12 @@ def top_k_partners(
         )
     if block is None:
         block = auto_topk_block(mode, approx, int(query_ids.shape[0]))
-    block = min(block, max(8, n))
+    # Clamp to the TABLE: since the no-padded-copy rewrite, _topk_blocked
+    # slices the unpadded table, and a block > n fails at trace time
+    # ("slice_sizes must be <= operand shape").  Tables smaller than the
+    # auto block (tiny demos/tests) retrieve in one exact block; the approx
+    # path already falls through to the exact merge when k > block.
+    block = max(1, min(block, n))
     k = min(k, n - 1 if exclude_self else n)
     cdtype = None
     if compute_dtype is not None:

@@ -219,6 +219,12 @@ def dequantize_slice(
     return (rows * s[:, None]).astype(dtype)
 
 
+# Largest int4 table int8_dot_scores will transiently unpack to (N, H) int8
+# for its single whole-table matmul; bigger tables must use the blocked
+# retrieval path (per-block unpack).  Module-level so tests can shrink it.
+_INT4_UNPACK_MAX_BYTES = 256 * (1 << 20)
+
+
 def int8_dot_scores(
     table: QuantTable, query_idx: jnp.ndarray, *, pad_to: int = 512
 ) -> jnp.ndarray:
@@ -236,6 +242,18 @@ def int8_dot_scores(
         # Whole-table unpack (transient (N, H) int8): acceptable here only
         # because top_k_partners routes int4 tables to the BLOCKED path
         # (per-block unpack); this function serves direct callers/tests.
+        # At the scales int4 exists for (10M-100M rows) that transient is
+        # the exact full-table-copy class the blocked path eliminates
+        # (~12.8 GB at 100M x 128) — refuse rather than OOM the chip.
+        if n * table.shape[1] > _INT4_UNPACK_MAX_BYTES:
+            raise ValueError(
+                f"int8_dot_scores would unpack the ENTIRE int4 table to a "
+                f"({n}, {table.shape[1]}) int8 transient "
+                f"({n * table.shape[1] / 2**30:.1f} GiB); use "
+                f"top_k_partners / the blocked retrieval path for large "
+                f"int4 tables (per-block unpack keeps the packed format's "
+                f"memory edge)."
+            )
         qp = unpack_int4(table.q, num_rows=n)
     else:
         qp = table.q

@@ -39,6 +39,8 @@ def test_bench_student_path_runs():
 
 def test_gate_floors_well_formed():
     assert set(bench.GATE_FLOORS) == {
+        "teacher_warm_edges_per_sec",
+        "teacher_cold_edges_per_sec",
         "student_bf16_edges_per_sec",
         "inner_approx_235k_ms",
         "inner_exact_235k_ms",
@@ -49,3 +51,50 @@ def test_gate_floors_well_formed():
         "daemon_conc8_rps",
     }
     assert all(v > 0 for v in bench.GATE_FLOORS.values())
+
+
+def test_teacher_gates_flip_on_regression():
+    """The round-5 absolute floors: a healthy session passes, a regressed
+    teacher rate (e.g. the 2.25x-slower XLA SpMM fallback) fails the gate."""
+    healthy = bench.teacher_gates(9.0e6, 714e3)
+    assert all(v["ok"] for v in healthy.values())
+    # warm regression (XLA-fallback scale: ~4M) with cold healthy
+    g = bench.teacher_gates(4.0e6, 714e3)
+    assert not g["teacher_warm_edges_per_sec"]["ok"]
+    assert g["teacher_cold_edges_per_sec"]["ok"]
+    # cold regression alone
+    g = bench.teacher_gates(9.0e6, 300e3)
+    assert g["teacher_warm_edges_per_sec"]["ok"]
+    assert not g["teacher_cold_edges_per_sec"]["ok"]
+    # floors sit below the documented session-variance band of the records
+    assert bench.GATE_FLOORS["teacher_warm_edges_per_sec"] < 0.97 * 8.88e6
+    assert bench.GATE_FLOORS["teacher_cold_edges_per_sec"] < 0.97 * 714.1e3
+
+
+def test_help_and_dry_run_never_touch_a_backend():
+    """`python bench.py --help` / `--dry-run` must exit without initializing
+    any jax backend (on axon, backend init = opening a TPU session — the
+    documented relay-wedging foot-gun, VERDICT r4 weak #6)."""
+    import subprocess
+    import sys
+
+    # The axon sitecustomize imports jax in EVERY interpreter, so "jax not
+    # imported" is unassertable; the hazard is backend INIT (that is what
+    # opens the TPU session).  xla_bridge._backends stays empty until then.
+    prog = (
+        "import sys, bench\n"
+        "try:\n"
+        "    bench._parse_args(['--help'])\n"
+        "except SystemExit:\n"
+        "    pass\n"
+        "sys.argv = ['bench.py', '--dry-run']\n"
+        "bench.main()\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, 'bench guard initialized a backend'\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog], cwd="/root/repo",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert '"dry_run": true' in r.stdout

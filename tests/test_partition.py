@@ -164,3 +164,30 @@ def test_boundary_stats_counts():
     # B(owner0 -> p1) = {0,1}; B(owner1 -> p0) = {2,3} -> max 2
     assert st["max_pair_rows"] == 2
     assert st["loads"] == [2, 2]
+
+
+def test_python_fallback_warns_at_scale():
+    """ADVICE r4 (low): the numpy fallback is O(passes*N*P) interpreter
+    work — at large N without g++ it looks like a hang.  partition_graph
+    must emit a RuntimeWarning above the size threshold (checked directly
+    on an edgeless graph so the fallback itself stays fast) and stay
+    silent below it."""
+    import warnings
+
+    n_big = 100_001
+    row_ptr = np.zeros(n_big + 1, np.int32)
+    col = np.zeros(0, np.int32)
+    order = np.arange(n_big, dtype=np.int32)
+    saved = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, True  # force the numpy path
+        with pytest.warns(RuntimeWarning, match="g\\+\\+"):
+            native.partition_graph(row_ptr, col, 2, 0, n_big, n_big, order)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            native.partition_graph(
+                np.zeros(101, np.int32), col, 2, 0, 100, 100,
+                np.arange(100, dtype=np.int32),
+            )
+    finally:
+        native._lib, native._tried = saved

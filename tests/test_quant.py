@@ -420,3 +420,20 @@ def test_sharded_int4_matches_single_device(setup, mode):
     v2, i2 = shard.topk(list(range(7)), 5)
     np.testing.assert_allclose(v1, v2, atol=1e-5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_int8_dot_scores_refuses_large_int4_unpack(setup4, monkeypatch):
+    """ADVICE r4 (low): int8_dot_scores on an int4 table unpacks the WHOLE
+    table to an (N, H) int8 transient — at the 10M-100M scales int4 exists
+    for that is the exact full-table-copy class the blocked path eliminates.
+    Large int4 tables must be refused with a pointer to the blocked path."""
+    from llp_tpu.serve import quant
+
+    emb, qt4, preds = setup4
+    # Small table (under the cap): still works.
+    s = int8_dot_scores(qt4, jnp.asarray([0, 1], jnp.int32))
+    assert s.shape[1] >= emb.shape[0]
+    # Shrink the cap below this table's unpacked size: refused.
+    monkeypatch.setattr(quant, "_INT4_UNPACK_MAX_BYTES", 64)
+    with pytest.raises(ValueError, match="blocked"):
+        int8_dot_scores(qt4, jnp.asarray([0, 1], jnp.int32))

@@ -364,3 +364,32 @@ def test_auto_topk_block_stays_below_mlp_cliff():
     for q in (1, 16, 256, 4096):
         b = auto_topk_block("inner", True, q)
         assert b >= 4096 and b * max(1, q) * 4 <= (256 << 20) + 4096 * q * 4
+
+
+@pytest.mark.parametrize("mode", ["mlp", "inner"])
+@pytest.mark.parametrize("approx", [False, True])
+def test_top_k_partners_tiny_table_default_block(setup, mode, approx):
+    """ADVICE r4 (medium): with the no-padded-copy rewrite, the blocked
+    path slices the UNPADDED table, so a block clamped to max(8, n)=8 on a
+    5-row table failed at trace time.  Tables smaller than any block must
+    retrieve in one exact block under the DEFAULT (auto) block size."""
+    x, enc, emb, preds = setup
+    tiny = emb[:5]
+    qi = np.array([0, 3], np.int32)
+    vals, ids = top_k_partners(
+        preds[mode], tiny, qi, k=2, mode=mode, approx=approx,
+        exclude_self=True,
+    )
+    full = np.asarray(
+        apply_link_predictor(
+            preds[mode], jnp.take(tiny, jnp.asarray(qi), axis=0)[:, None, :],
+            tiny[None, :, :], mode=mode, train=False,
+        )
+    )
+    for r, q in enumerate(qi):
+        scores = full[r].copy()
+        scores[q] = -np.inf
+        np.testing.assert_allclose(
+            np.asarray(vals)[r], np.sort(scores)[::-1][:2], atol=1e-5
+        )
+        assert q not in np.asarray(ids)[r]
