@@ -111,7 +111,8 @@ def build_problem(spec):
     return ei.astype(np.int64), x
 
 
-def bench_tpu(spec, ei: np.ndarray, x: np.ndarray) -> float:
+def bench_tpu(spec, ei: np.ndarray, x: np.ndarray, *,
+              encoder: str = "sage", conv: str = "sage") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +137,8 @@ def bench_tpu(spec, ei: np.ndarray, x: np.ndarray) -> float:
     # dispatch latency and the layer-1 aggregation hoist amortize across the
     # block — the same `epochs_per_jit` knob the CLI driver exposes.
     epoch_fn, tx = make_teacher_epoch_fn(
-        encoder="sage",
+        encoder=encoder,
+        conv=conv,
         predictor_mode="mlp",
         dropout=0.0,
         num_nodes=n,
@@ -148,7 +150,7 @@ def bench_tpu(spec, ei: np.ndarray, x: np.ndarray) -> float:
         epochs_per_call=epc,
     )
     params = init_teacher_params(
-        jax.random.PRNGKey(0), encoder="sage", in_channels=dim,
+        jax.random.PRNGKey(0), encoder=encoder, in_channels=dim,
         hidden_channels=hidden, num_layers=spec["layers"],
         predictor_mode="mlp",
     )
@@ -157,8 +159,9 @@ def bench_tpu(spec, ei: np.ndarray, x: np.ndarray) -> float:
     def consume(params, loss):
         # device->host reads; block_until_ready is unreliable on the axon
         # runtime, but a host read cannot complete before the value exists.
+        first_leaf = jax.tree_util.tree_leaves(params["encoder"])[0]
         return float(loss[-1] if epc > 1 else loss) + float(
-            params["encoder"]["convs"][0]["lin_l"]["w"][0, 0]
+            first_leaf.reshape(-1)[0]
         )
 
     def timed(params, opt_state, key0):
@@ -573,6 +576,24 @@ def main():
                 all(v["ok"] for v in extra["teacher_gates"].values())
             )
         else:
+            # Record-only encoder matrix (VERDICT r4 weak #2): the cold
+            # collab-scale epoch through GCN and the linear-then-aggregate
+            # conv — the r4 one-shot trace measured all three at ~181
+            # ms/step; recording per round makes a layout regression in the
+            # factored sym-norm / sage_updated paths visible in the round
+            # JSON history (the structural CPU gate is
+            # tests/test_encoder_segsum_gate.py; the absolute floor above
+            # guards the SAGE path).
+            extra["encoder_matrix"] = {
+                name: round(bench_tpu(COLD, ei_c, x_c, encoder=enc,
+                                      conv=conv), 1)
+                for name, enc, conv in (
+                    ("gcn_cold_edges_per_sec", "gcn", "sage"),
+                    ("sage_updated_cold_edges_per_sec", "sage",
+                     "sage_updated"),
+                )
+            }
+
             stu = bench_student(COLD, ei_c, x_c)
             floor = GATE_FLOORS["student_bf16_edges_per_sec"]
             extra["student"] = {

@@ -98,3 +98,13 @@ def test_help_and_dry_run_never_touch_a_backend():
     )
     assert r.returncode == 0, r.stderr
     assert '"dry_run": true' in r.stdout
+
+
+def test_bench_tpu_encoder_matrix_paths_run():
+    """The record-only encoder-matrix rows (gcn, sage_updated) reuse
+    bench_tpu with encoder kwargs — keep those paths import/shape-safe."""
+    spec = _tiny_spec()
+    ei, x = bench.build_problem(spec)
+    assert bench.bench_tpu(spec, ei, x, encoder="gcn") > 0
+    assert bench.bench_tpu(spec, ei, x, encoder="sage",
+                           conv="sage_updated") > 0
