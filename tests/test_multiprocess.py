@@ -144,6 +144,69 @@ def _run_halo_trajectory(mesh):
     return losses
 
 
+def _run_table_student_trajectory(mesh):
+    """2 TABLE-SHARDED student epochs on ``mesh``: x and the teacher table
+    are OWNER-SHARDED across the 2-process global mesh, so every
+    feature/teacher gather (table_gather: all_gather indices -> masked
+    local gathers -> psum_scatter) crosses a real process boundary.  With
+    the halo epoch this is the second surface whose static collective plan
+    is most likely to break across processes (VERDICT r4 ask #3)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llp_tpu.core import build_graph
+    from llp_tpu.models.predictor import init_link_predictor
+    from llp_tpu.parallel.epoch import make_sharded_student_epoch_fn
+    from llp_tpu.train.student import init_student_params
+
+    src, dst, in_deg, x, pos, _ = _problem()
+    graph = build_graph(np.stack([src, dst]), N)
+    rng = np.random.default_rng(21)
+    t_h = rng.normal(size=(N, HID)).astype(np.float32)
+
+    def put(host, spec, dtype):
+        host = np.asarray(host, dtype)
+        return jax.make_array_from_callback(
+            host.shape, NamedSharding(mesh, spec), lambda idx: host[idx]
+        )
+
+    put_repl = lambda a: put(np.asarray(a), P(), np.asarray(a).dtype)
+    graph_g = jax.tree_util.tree_map(put_repl, graph)
+    # owner-sharded tables (N=96 divides the 8-device mesh: no pad rows;
+    # padded owner rows are covered by the single-process n=201 test)
+    x_tab = put(x, P("data"), np.float32)
+    t_h_tab = put(t_h, P("data"), np.float32)
+    posd = put(pos, P(), np.int32)
+    dummy = put(np.zeros(1, np.int32), P(), np.int32)
+
+    ep_fn, tx = make_sharded_student_epoch_fn(
+        mesh, num_nodes=N, num_pos_edges=B, link_batch_size=B,
+        node_batch_size=16, predictor_mode="mlp", dropout=0.0, lr=0.01,
+        true_label=0.5, llp_d=1.0, llp_r=1.0, rw_step=2, hops=1, ns_rate=1,
+        neg_mode="uniform", minibatch=True, feature_sharding="table",
+    )
+    tpred = jax.tree_util.tree_map(
+        put_repl,
+        init_link_predictor(jax.random.PRNGKey(4), "mlp", HID, HID, 1, 2),
+    )
+    params = jax.tree_util.tree_map(
+        put_repl,
+        init_student_params(
+            jax.random.PRNGKey(2), in_channels=DIM, hidden_channels=HID,
+            num_layers=2, predictor_mode="mlp",
+        ),
+    )
+    opt_state = tx.init(params)
+    losses = []
+    for i in range(2):
+        params, opt_state, loss = ep_fn(
+            params, opt_state, jax.random.PRNGKey(300 + i), graph_g, x_tab,
+            t_h_tab, tpred, posd, dummy,
+        )
+        losses.append(float(loss))
+    return losses
+
+
 def _worker(pid: int, port: int, out: str) -> None:
     import jax
 
@@ -155,7 +218,8 @@ def _worker(pid: int, port: int, out: str) -> None:
     from jax.sharding import Mesh
 
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
-    losses = _run_trajectory(mesh) + _run_halo_trajectory(mesh)
+    losses = (_run_trajectory(mesh) + _run_halo_trajectory(mesh)
+              + _run_table_student_trajectory(mesh))
     if pid == 0:
         np.save(out, np.asarray(losses))
 
@@ -196,7 +260,7 @@ def test_two_process_dp_teacher_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=360)
+            stdout, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -206,7 +270,8 @@ def test_two_process_dp_teacher_matches_single_process(tmp_path):
 
     got = np.load(out)
     mesh1 = Mesh(np.asarray(jax.devices()[:8]), ("data",))
-    ref = _run_trajectory(mesh1) + _run_halo_trajectory(mesh1)
+    ref = (_run_trajectory(mesh1) + _run_halo_trajectory(mesh1)
+           + _run_table_student_trajectory(mesh1))
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
