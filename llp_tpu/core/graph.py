@@ -97,6 +97,18 @@ class Graph:
     # so the DP-sharded epoch — where each device sees only its edge slice —
     # still normalizes by the GLOBAL weighted degree without a collective.
     w_in_degree: Optional[jnp.ndarray] = None
+    # Optional ARGUMENT-PASSED segsum layouts (round 5): a pytree of layout
+    # arrays (fwd + bwd directions) built by
+    # :func:`llp_tpu.ops.pallas.segsum_kernel.attach_segsum`.  When set,
+    # ``spmm(..., impl="segsum")`` routes through these TRACED arrays
+    # instead of the token-cached closure fns — essential for huge graphs
+    # on remote runtimes: a jit CLOSING OVER layout arrays serializes them
+    # into the compile upload (~16 B/edge; a 70M-edge graph is ~1.1 GB of
+    # HLO constants, a guaranteed relay failure), while traced arguments
+    # ship once as device buffers.  ``seg_meta`` carries the static block
+    # counts: ((num_blocks_f, n_out_pad_f), (num_blocks_b, n_out_pad_b)).
+    seg: Optional[tuple] = None
+    seg_meta: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_padded_edges(self) -> int:

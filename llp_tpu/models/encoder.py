@@ -60,6 +60,7 @@ def apply_encoder(
     x_agg=None,
     norm_axis=None,
     norm_row_mask=None,
+    last_rows=None,
 ):
     """Returns ``h``; with norm_type="batch", ``(h, new_norm_state)``.
 
@@ -69,19 +70,28 @@ def apply_encoder(
 
     ``norm_axis``/``norm_row_mask``: cross-device batch-norm statistics for
     sharded training (see :func:`llp_tpu.models.norms.apply_norm`).
+
+    ``last_rows``: optional (B,) node ids — return only those ROWS of the
+    final layer's output (the last projection commutes with row gathering;
+    hidden layers still run full-graph).  The training loops pass the batch
+    edge endpoints here: the decoder reads B rows, so the full (N, H) final
+    embedding — and, more importantly, its (N, H) cotangent — never
+    materializes.  At N=10M/H=128 that is ~5 GB off the step peak and an
+    N·H² → B·H² MXU saving.  Exact up to float reassociation (test-gated).
     """
     if name == "sage":
         return apply_sage(
             params, graph, x, dropout=dropout, train=train, rng=rng, conv=conv,
             norm_type=norm_type, impl=impl, x_agg=x_agg,
             norm_axis=norm_axis, norm_row_mask=norm_row_mask,
+            last_rows=last_rows,
         )
     if name == "gcn":
         if norm_type != "none":
             raise ValueError("the GCN encoder has no inter-layer norms")
         return apply_gcn(
             params, graph, x, dropout=dropout, train=train, rng=rng, impl=impl,
-            x_agg=x_agg,
+            x_agg=x_agg, last_rows=last_rows,
         )
     if name == "mlp":
         if x_agg is not None:
@@ -89,6 +99,7 @@ def apply_encoder(
         return apply_mlp(
             params, x, dropout=dropout, train=train, rng=rng, norm_type=norm_type,
             norm_axis=norm_axis, norm_row_mask=norm_row_mask,
+            last_rows=last_rows,
         )
     raise ValueError(f"unknown encoder {name!r}")
 

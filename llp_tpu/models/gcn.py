@@ -123,8 +123,14 @@ def apply_gcn(
     norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     impl: str = "xla",
     x_agg: Optional[jnp.ndarray] = None,
+    last_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """ReLU + dropout between convs, nothing after the last (models.py:74-80)."""
+    """ReLU + dropout between convs, nothing after the last (models.py:74-80).
+
+    ``last_rows``: optional (B,) node ids — return only those ROWS of the
+    final conv's output: ``(Â h)[idx] W + b`` by the same ``Â (h W) =
+    (Â h) W`` linearity the hoist uses; the full (N, H) final embedding
+    (and its training cotangent) never materializes."""
     if norm is None:
         norm = gcn_norm_coeffs(graph)
     convs = params["convs"]
@@ -136,7 +142,17 @@ def apply_gcn(
             if rng is None:
                 raise ValueError("train-mode dropout requires an rng key")
             h = inverted_dropout(h, dropout, jax.random.fold_in(rng, i))
-    return apply_gcn_conv(
-        convs[-1], graph, h, norm, impl=impl,
-        x_agg=x_agg if len(convs) == 1 else None,
-    )
+    last_agg = x_agg if len(convs) == 1 else None
+    if last_rows is not None:
+        agg = (
+            _normalized_aggregate(graph, h, norm, impl=impl)
+            if last_agg is None
+            else last_agg
+        )
+        rows = jnp.take(agg, last_rows, axis=0)
+        cp = convs[-1]
+        out = jnp.dot(
+            rows, cp["lin"]["w"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        return out + cp["lin"]["b"]
+    return apply_gcn_conv(convs[-1], graph, h, norm, impl=impl, x_agg=last_agg)

@@ -63,18 +63,24 @@ def apply_mlp(
     norm_type: str = "none",
     norm_axis: Optional[str] = None,
     norm_row_mask: Optional[jnp.ndarray] = None,
+    last_rows: Optional[jnp.ndarray] = None,
 ):
     """Forward pass. ``rng`` is required when train=True and dropout>0.
 
     Returns ``h``; for norm_type="batch" returns ``(h, new_norm_state)``.
     ``norm_axis``/``norm_row_mask`` make batch-norm statistics global across
     a mesh axis inside shard_map (see :func:`llp_tpu.models.norms.apply_norm`).
+    ``last_rows``: optional (B,) row ids — gather BEFORE the final linear
+    (projection commutes with row gathering), so only those output rows are
+    computed.
     """
     h = x
     layers = params["layers"]
     n = len(layers)
     new_state = []
     for i, layer in enumerate(layers):
+        if last_rows is not None and i == n - 1:
+            h = jnp.take(h, last_rows, axis=0)
         h = apply_linear(layer, h)
         if i != n - 1:
             if norm_type != "none":

@@ -93,6 +93,50 @@ _CONV_APPLY = {
 }
 
 
+def _sage_conv_rows(
+    conv: str,
+    params: dict,
+    graph: Graph,
+    h: jnp.ndarray,
+    idx: jnp.ndarray,
+    *,
+    impl: str = "xla",
+    x_agg: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """The conv's output ROWS ``conv(h)[idx]`` without materializing the
+    full (N, dout) output.
+
+    The final encoder layer feeds only the decoder's gathered edge rows
+    during training, and a linear projection commutes with row gathering —
+    so the last layer projects (B, din) gathered rows instead of all N
+    (N·H² → B·H² MXU FLOPs, and the (N, H) output + its cotangent never
+    exist; at N=10M/H=128 that is 2×2.5 GB off the step's peak).  The
+    aggregation itself still runs full-graph (every row may be a sender).
+    For 'sage_updated' the projection moves after the aggregation by the
+    same linearity identity the layer-1 hoist uses (bias ⊙ 1{deg>0}).
+    """
+    agg = mean_aggregate(graph, h, impl=impl) if x_agg is None else x_agg
+    rows_agg = jnp.take(agg, idx, axis=0)
+    rows_h = jnp.take(h, idx, axis=0)
+    if conv == "sage":
+        return apply_linear(params["lin_l"], rows_agg) + apply_linear(
+            params["lin_r"], rows_h
+        )
+    # sage_updated: mean_j(W x_j + b) == W mean_j(x_j) + b·1{deg>0}
+    w = params["lin_l"]["w"]
+    out = jnp.dot(rows_agg, w, preferred_element_type=jnp.float32).astype(
+        h.dtype
+    )
+    if getattr(graph, "edge_weight", None) is None:
+        has_nbr = (graph.in_degree > 0).astype(h.dtype)
+    else:
+        has_nbr = (weighted_in_degree(graph) > 0).astype(h.dtype)
+    out = out + params["lin_l"]["b"].astype(h.dtype) * jnp.take(
+        has_nbr, idx
+    )[:, None]
+    return out + apply_linear(params["lin_r"], rows_h)
+
+
 def init_sage(
     key: jax.Array,
     in_channels: int,
@@ -136,7 +180,11 @@ def apply_sage(
     x_agg: Optional[jnp.ndarray] = None,
     norm_axis: Optional[str] = None,
     norm_row_mask: Optional[jnp.ndarray] = None,
+    last_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """``last_rows``: optional (B,) node ids — return only those ROWS of the
+    final conv's output (see :func:`_sage_conv_rows`; the hidden layers
+    still run full-graph)."""
     conv_fn = _CONV_APPLY[conv]
     convs = params["convs"]
     h = x
@@ -155,10 +203,13 @@ def apply_sage(
             if rng is None:
                 raise ValueError("train-mode dropout requires an rng key")
             h = inverted_dropout(h, dropout, jax.random.fold_in(rng, i))
-    h = conv_fn(
-        convs[-1], graph, h, impl=impl,
-        x_agg=x_agg if len(convs) == 1 else None,
-    )
+    last_agg = x_agg if len(convs) == 1 else None
+    if last_rows is not None:
+        h = _sage_conv_rows(
+            conv, convs[-1], graph, h, last_rows, impl=impl, x_agg=last_agg
+        )
+    else:
+        h = conv_fn(convs[-1], graph, h, impl=impl, x_agg=last_agg)
     if norm_type == "batch":
         return h, new_state
     return h

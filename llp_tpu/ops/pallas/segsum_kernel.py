@@ -29,6 +29,7 @@ VJP exactly like the sorted-scatter path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -39,7 +40,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 BE = 512     # edges per block
 RMAX = 512   # receiver window rows per block
-DT = 256     # feature tile
+DT = 256     # feature tile (narrow features fall back to one 128-lane tile
+#              — a D=128 stream otherwise pads its gathered messages 2x)
+
+# Gathered-message budget per kernel dispatch: streams whose (E_pad, D)
+# message tensor exceeds this are CHUNKED — the edge stream splits into
+# window-aligned block ranges whose partial sums accumulate into the same
+# aliased output buffer (the kernel's read-modify-write windows make the
+# accumulation exact even when a window spans a chunk boundary).  This is
+# what lets a 70M-edge x 128-dim aggregation (a ~36 GB message tensor, 2x
+# the chip's HBM) run on one chip at ~4 GB of transient.  Default 4 GB so
+# every previously-measured regime (warm 0.3 GB, collab-cold 2.2 GB, 1M-node
+# 7.2 GB pre-tile-fix -> 3.6 GB now) keeps its single-dispatch path.
+_CHUNK_MSG_BYTES = int(os.environ.get("LLP_SEGSUM_CHUNK_BYTES", 4 << 30))
 
 
 class BlockedSegsumLayout(NamedTuple):
@@ -132,8 +145,10 @@ def build_blocked_layout(
     )
 
 
-def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
-    # zeros_ref is the aliased initial out buffer; reads/writes go to out_ref.
+def _kernel(r0_ref, lid_ref, msgs_ref, init_ref, out_ref, scratch, sem, *,
+            dt: int):
+    # init_ref is the aliased initial out buffer (zeros, or a previous
+    # chunk's partial sums); reads/writes go to out_ref.
     b = pl.program_id(1)
     d = pl.program_id(0)
     nb = pl.num_programs(1)
@@ -149,9 +164,9 @@ def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
         msgs_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (RMAX, DT) fp32
+    )  # (RMAX, dt) fp32
     r0 = pl.multiple_of(r0_ref[b], 8)  # layout guarantees 8-aligned bases
-    window = out_ref.at[pl.ds(r0, RMAX), pl.ds(d * DT, DT)]
+    window = out_ref.at[pl.ds(r0, RMAX), pl.ds(d * dt, dt)]
 
     # Consecutive blocks of the same window (~avg_degree·RMAX/BE of them)
     # keep the accumulator resident in VMEM: DMA only at window boundaries.
@@ -173,32 +188,84 @@ def _kernel(r0_ref, lid_ref, msgs_ref, zeros_ref, out_ref, scratch, sem):
         store.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "n_out_pad", "interpret"))
-def _segsum_call(local_ids, block_r0, msgs, *, num_blocks, n_out_pad, interpret):
+def _kernel_cast(r0_ref, lid_ref, msgs_ref, init_ref, out_ref, scratch,
+                 stage, sem, *, dt: int):
+    """Like ``_kernel`` but the HBM out buffer holds a NARROW dtype (bf16):
+    windows accumulate fp32 in VMEM and round ONCE at the window store
+    (numerically ≈ computing fp32 then casting — only windows spanning a
+    chunk boundary round more than once).  Halves the out-buffer HBM — the
+    (N, D) fp32 output is the single biggest transient of a huge-graph
+    aggregation (5.1 GB at N=10M, D=128)."""
+    b = pl.program_id(1)
+    d = pl.program_id(0)
+    nb = pl.num_programs(1)
+    lid = lid_ref[pl.ds(b % 8, 1), :]
+    valid = lid < RMAX
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RMAX, BE), 0)
+    m = jnp.where((lid == rows) & valid, 1.0, 0.0).astype(msgs_ref.dtype)
+    contrib = jax.lax.dot_general(
+        m, msgs_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    r0 = pl.multiple_of(r0_ref[b], 8)
+    window = out_ref.at[pl.ds(r0, RMAX), pl.ds(d * dt, dt)]
+    first = jnp.logical_or(b == 0, r0_ref[jnp.maximum(b - 1, 0)] != r0_ref[b])
+    last = jnp.logical_or(b == nb - 1, r0_ref[jnp.minimum(b + 1, nb - 1)] != r0_ref[b])
+
+    @pl.when(first)
+    def _():
+        load = pltpu.make_async_copy(window, stage, sem)
+        load.start()
+        load.wait()
+        scratch[...] = stage[...].astype(jnp.float32)
+
+    scratch[...] = scratch[...] + contrib
+
+    @pl.when(last)
+    def _():
+        stage[...] = scratch[...].astype(stage.dtype)
+        store = pltpu.make_async_copy(stage, window, sem)
+        store.start()
+        store.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "n_out_pad", "interpret"),
+                   donate_argnums=(3,))
+def _segsum_call(local_ids, block_r0, msgs, init, *, num_blocks, n_out_pad,
+                 interpret):
+    """One kernel dispatch over ``num_blocks`` blocks, accumulating into
+    ``init`` (aliased to the output: zeros for a single-shot call, the
+    running partial sums for a chunked stream).  The output dtype follows
+    ``init`` (fp32, or bf16 via the casting kernel)."""
     d_pad = msgs.shape[1]
-    zeros = jnp.zeros((n_out_pad, d_pad), jnp.float32)
+    # Feature tile: 256 lanes when the features fill it, one 128-lane tile
+    # otherwise (a D=128 stream at DT=256 would pad every gathered message
+    # row 2x — pure DMA+HBM waste, the round-3 local_ids bug class).
+    dt = DT if d_pad % DT == 0 else 128
+    f32_out = init.dtype == jnp.float32
+    scratch_shapes = [pltpu.VMEM((RMAX, dt), jnp.float32)]
+    if not f32_out:
+        scratch_shapes.append(pltpu.VMEM((RMAX, dt), init.dtype))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(d_pad // DT, num_blocks),
+        grid=(d_pad // dt, num_blocks),
         in_specs=[
             pl.BlockSpec((8, BE), lambda d, b, r0s: (b // 8, 0)),
-            pl.BlockSpec((BE, DT), lambda d, b, r0s: (b, d)),
+            pl.BlockSpec((BE, dt), lambda d, b, r0s: (b, d)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((RMAX, DT), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel if f32_out else _kernel_cast, dt=dt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out_pad, d_pad), jnp.float32),
-        input_output_aliases={3: 0},  # zeros (arg idx incl. prefetch) -> out
+        out_shape=jax.ShapeDtypeStruct((n_out_pad, d_pad), init.dtype),
+        input_output_aliases={3: 0},  # init (arg idx incl. prefetch) -> out
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(block_r0, local_ids, msgs, zeros)
+    )(block_r0, local_ids, msgs, init)
 
 
 def _segment_sum_arrays(
@@ -212,8 +279,11 @@ def _segment_sum_arrays(
     num_segments: int,
     slot_weights: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
-    """Kernel entry over raw layout arrays (fp32 output, sliced to rows/cols).
+    """Kernel entry over raw layout arrays (fp32 output by default —
+    ``out_dtype=bfloat16`` selects the casting kernel, which rounds each
+    window once at its store; sliced to rows/cols).
 
     Accepts traced layout arrays so it can run inside ``shard_map`` with
     per-device layout slices (the static ``num_blocks``/``n_out_pad`` must be
@@ -226,22 +296,44 @@ def _segment_sum_arrays(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     d = x.shape[1]
-    d_pad = ((d + DT - 1) // DT) * DT
-    msgs = jnp.take(x, senders, axis=0)
-    if msgs.dtype not in (jnp.float32, jnp.bfloat16):
-        msgs = msgs.astype(jnp.float32)
-    if slot_weights is not None:
-        msgs = msgs * slot_weights.astype(msgs.dtype)[:, None]
-    if d_pad != d:
-        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
-    out = _segsum_call(
-        local_ids,
-        block_r0,
-        msgs,
-        num_blocks=num_blocks,
-        n_out_pad=n_out_pad,
-        interpret=interpret,
-    )
+    d_pad = ((d + 127) // 128) * 128
+
+    mdtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+    msg_bytes = num_blocks * BE * d_pad * jnp.dtype(mdtype).itemsize
+    if msg_bytes <= _CHUNK_MSG_BYTES:
+        chunks = [(0, num_blocks)]
+    else:
+        # Window-aligned chunks (multiples of 8 blocks — the lid tile rows):
+        # each chunk's partial sums accumulate into the SAME aliased output;
+        # a window spanning a chunk boundary is exact because every window's
+        # first block read-modify-writes the current HBM content.
+        cb = max(8, (_CHUNK_MSG_BYTES // (BE * d_pad *
+                                          jnp.dtype(mdtype).itemsize)) // 8 * 8)
+        chunks = [(c0, min(cb, num_blocks - c0))
+                  for c0 in range(0, num_blocks, cb)]
+
+    def gathered(c0, nb_c):
+        sl = jax.lax.dynamic_slice_in_dim(senders, c0 * BE, nb_c * BE)
+        m = jnp.take(x, sl, axis=0).astype(mdtype)
+        if slot_weights is not None:
+            wl = jax.lax.dynamic_slice_in_dim(slot_weights, c0 * BE, nb_c * BE)
+            m = m * wl.astype(m.dtype)[:, None]
+        if d_pad != d:
+            m = jnp.pad(m, ((0, 0), (0, d_pad - d)))
+        return m
+
+    out = jnp.zeros((n_out_pad, d_pad), out_dtype or jnp.float32)
+    for c0, nb_c in chunks:
+        rows8 = -(-nb_c // 8) * 8
+        out = _segsum_call(
+            jax.lax.dynamic_slice_in_dim(local_ids, c0, rows8),
+            jax.lax.dynamic_slice_in_dim(block_r0, c0, nb_c),
+            gathered(c0, nb_c),
+            out,
+            num_blocks=nb_c,
+            n_out_pad=n_out_pad,
+            interpret=interpret,
+        )
     return out[:num_segments, :d]
 
 
@@ -420,6 +512,107 @@ def prepare_segsum(graph, weighted: bool = False) -> None:
     if weighted:
         get_blocked_spmm_weighted_fn(graph, "mean")
         get_blocked_spmm_weighted_fn(graph, "sum")
+
+
+def attach_segsum(graph):
+    """Build both directions' layouts and ATTACH them to the graph as
+    pytree fields (``graph.seg`` arrays + static ``graph.seg_meta``) —
+    the argument-passed alternative to :func:`prepare_segsum`'s
+    token-cached closures.
+
+    Why this exists: a closure-captured device array is serialized as an
+    HLO constant into every jit that uses it.  On a remote-compile runtime
+    (axon) the layouts of a 70M-edge graph are ~1.1 GB of constants — an
+    impossible upload — while as jit ARGUMENTS they ship once as device
+    buffers.  ``spmm(impl="segsum")`` prefers ``graph.seg`` when present
+    (unweighted sum/mean; other cases fall through to the cached path).
+
+    Returns the new Graph (outside jit only).
+    """
+    if isinstance(graph.senders, jax.core.Tracer):
+        raise RuntimeError("attach_segsum must run outside jit")
+    e, n = graph.num_edges, graph.num_nodes
+    recv = np.asarray(jax.device_get(graph.receivers))[:e]
+    send = np.asarray(jax.device_get(graph.senders))[:e]
+    assert graph.receiver_sorted, "canonical graphs are receiver-sorted"
+    lay_f = build_blocked_layout(recv, send, n)
+    csr_row = np.asarray(jax.device_get(graph.csr_row))[:e]
+    col = np.asarray(jax.device_get(graph.col))[:e]
+    lay_b = build_blocked_layout(csr_row, col, n)
+    return graph.replace(
+        seg=(
+            (lay_f.senders, lay_f.local_ids, lay_f.block_r0),
+            (lay_b.senders, lay_b.local_ids, lay_b.block_r0),
+        ),
+        seg_meta=(
+            (lay_f.num_blocks, lay_f.n_out_pad),
+            (lay_b.num_blocks, lay_b.n_out_pad),
+        ),
+    )
+
+
+def _float0_zero(a):
+    import jax.dtypes
+
+    return np.zeros(np.shape(a), jax.dtypes.float0)
+
+
+def spmm_segsum_args(graph, x: jnp.ndarray, reduce: str) -> jnp.ndarray:
+    """Windowed-segsum SpMM over ARGUMENT-PASSED layouts (``graph.seg``).
+
+    Works with a fully traced graph: the layout arrays are jaxpr variables,
+    never HLO constants.  custom-vjp'd like the cached path (backward =
+    the transposed-direction kernel).  When ``x`` is bf16 the kernel's HBM
+    out buffer is bf16 too (fp32 VMEM accumulation, one round per window
+    store) — at N=10M/D=128 that halves the biggest transient of the step.
+    """
+    if reduce not in ("sum", "mean"):
+        raise ValueError(f"segsum arg path supports sum/mean, got {reduce!r}")
+    (nbf, npf), (nbb, npb) = graph.seg_meta
+    n = graph.num_nodes
+    mean = reduce == "mean"
+    x_dtype = x.dtype
+    out_dtype = jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
+
+    def _scale(o, in_degree):
+        if not mean:
+            return o
+        inv = 1.0 / jnp.maximum(in_degree.astype(jnp.float32), 1.0)
+        return o * inv[:, None].astype(o.dtype)
+
+    def _prim(x, in_degree, sf, lf, rf):
+        o = _segment_sum_arrays(
+            x, sf, lf, rf, num_blocks=nbf, n_out_pad=npf, num_segments=n,
+            out_dtype=out_dtype,
+        )
+        return _scale(o, in_degree).astype(x.dtype)
+
+    @jax.custom_vjp
+    def f(x, in_degree, sf, lf, rf, sb, lb, rb):
+        return _prim(x, in_degree, sf, lf, rf)
+
+    def f_fwd(x, in_degree, sf, lf, rf, sb, lb, rb):
+        return (
+            _prim(x, in_degree, sf, lf, rf),
+            (in_degree, sf, lf, rf, sb, lb, rb),
+        )
+
+    def f_bwd(res, g):
+        in_degree, sf, lf, rf, sb, lb, rb = res
+        xdt = x_dtype  # static python value from the enclosing call
+        gs = _scale(g, in_degree).astype(g.dtype) if mean else g
+        dx = _segment_sum_arrays(
+            gs, sb, lb, rb, num_blocks=nbb, n_out_pad=npb, num_segments=n,
+            out_dtype=out_dtype,
+        ).astype(xdt)
+        # layout/degree args are integer-valued: their cotangents are float0
+        return (dx,) + tuple(
+            _float0_zero(a) for a in (in_degree, sf, lf, rf, sb, lb, rb)
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    (sf, lf, rf), (sb, lb, rb) = graph.seg
+    return f(x, graph.in_degree, sf, lf, rf, sb, lb, rb)
 
 
 def spmm_segsum(

@@ -84,9 +84,16 @@ def spmm(
             segsum_ready,
             segsum_weighted_ready,
             spmm_segsum,
+            spmm_segsum_args,
         )
 
         if reduce in ("sum", "mean"):
+            # ARGUMENT-PASSED layouts first (attach_segsum): layout arrays
+            # are traced jit arguments — the only kernel path that scales to
+            # huge graphs on remote-compile runtimes (closure layouts become
+            # HLO constants: ~16 B/edge of compile upload).
+            if graph.seg is not None and edge_weight is None:
+                return spmm_segsum_args(graph, x, reduce)
             concrete = not isinstance(graph.senders, jax.core.Tracer)
             ready = (
                 segsum_weighted_ready(graph)

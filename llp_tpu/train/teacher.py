@@ -84,6 +84,7 @@ def make_teacher_epoch_fn(
     norm_type: str = "none",
     compute_dtype="float32",
     epochs_per_call: int = 1,
+    gather_last: bool = False,
 ):
     """Build a jitted epoch function.
 
@@ -117,30 +118,36 @@ def make_teacher_epoch_fn(
     def batch_loss(params, rng, graph, x, x_agg, edges, mask, neg_keys):
         params = cast_params(params, cdtype)  # fwd/bwd in compute dtype
         k_drop, k_pred, k_neg = jax.random.split(rng, 3)
-        h = apply_encoder(
-            encoder,
-            params["encoder"],
-            graph,
-            x,
-            dropout=dropout,
-            train=True,
-            rng=k_drop,
-            conv=conv,
-            norm_type=norm_type,
-            impl=spmm_impl,
-            x_agg=x_agg,
-        )
-        new_norm_state = None
-        if stateful:
-            h, new_norm_state = h
         if neg_mode == "dense":
             neg = sample_negative_edges(k_neg, neg_keys, b, num_nodes)
         else:
             neg = sample_uniform_edges(k_neg, b, num_nodes)
         src = jnp.concatenate([edges[:, 0], neg[0]])
         dst = jnp.concatenate([edges[:, 1], neg[1]])
-        hi = jnp.take(h, src, axis=0)
-        hj = jnp.take(h, dst, axis=0)
+        enc_kwargs = dict(
+            dropout=dropout, train=True, rng=k_drop, conv=conv,
+            norm_type=norm_type, impl=spmm_impl, x_agg=x_agg,
+        )
+        new_norm_state = None
+        if gather_last:
+            # Final-layer projection of the 4b gathered endpoint rows only:
+            # the (N, H) last embedding and its cotangent never materialize
+            # (exact up to float reassociation — see apply_encoder).
+            rows = apply_encoder(
+                encoder, params["encoder"], graph, x,
+                last_rows=jnp.concatenate([src, dst]), **enc_kwargs,
+            )
+            if stateful:
+                rows, new_norm_state = rows
+            hi, hj = rows[: 2 * b], rows[2 * b:]
+        else:
+            h = apply_encoder(
+                encoder, params["encoder"], graph, x, **enc_kwargs
+            )
+            if stateful:
+                h, new_norm_state = h
+            hi = jnp.take(h, src, axis=0)
+            hj = jnp.take(h, dst, axis=0)
         out = apply_link_predictor(
             params["predictor"], hi, hj, mode=predictor_mode,
             dropout=dropout, train=True, rng=k_pred,
