@@ -1,0 +1,454 @@
+"""Round-5 TPU: 10M-node / ~70M-edge single-chip TRAINING + the trained
+int4 serving chain (VERDICT r4 asks #2, #4, #5).
+
+Training-side scale was stuck at 1M nodes while serving reached 100M; this
+drives the framework's own machinery one order up on ONE chip:
+
+* host graph build (sbm 10M/70M) + ``build_graph`` + ``attach_segsum``
+  (argument-passed layouts: 70M-edge closure layouts would be ~1.1 GB of
+  HLO constants — an impossible remote-compile upload),
+* teacher epochs: whole-epoch lax.scan, bf16 compute, layer-1 hoist,
+  CHUNKED segsum (the (E, H) message tensor is ~18 GB bf16 — 2x HBM),
+  bf16 kernel window stores, last-layer row gathering (the (N, H) final
+  embedding + cotangent never materialize),
+* teacher feature export (full bf16 encode) + AUC gate,
+* bf16 minibatch student distilled from the exported features + AUC gate,
+* the trained-embedding int4 chain: quantize the exported table to
+  lane-packed int4 and gate recall@10 of int4+approx retrieval against the
+  SAME model's fp32 exact (inner Q=256; trained-'mlp' decoder Q=128) —
+  every previous int4 recall number was on random embeddings,
+* int4@10M daemon concurrency (1/2/4/8 loopback clients, full merge-bucket
+  ladder warmed — r4 lesson).
+
+Memory plan (16 GB chip): D=64 features, H=128, N=10M -> persistent
+~4.8 GB (x + x_agg bf16, layouts, edges); teacher step peak ~13 GB with
+1 GB segsum chunks.  The compiled program's memory_analysis is logged
+BEFORE execution; RESOURCE_EXHAUSTED is caught and logged, not fatal.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/scale10m_r5.py <log>
+  python scripts/scale10m_r5.py <log> --small   # CPU smoke test (N=20k)
+"""
+
+import os
+import sys
+import time
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10m_r5.log"
+SMALL = "--small" in sys.argv
+LOG = open(OUT, "a", buffering=1)
+
+
+def log(msg):
+    LOG.write(f"[{time.strftime('%H:%M:%S')}] {msg}\n")
+
+
+# 1 GB segsum chunks: the 70M-edge bf16 message stream dispatches in ~18
+# pieces; peak transient stays ~1 GB instead of ~18.
+os.environ.setdefault("LLP_SEGSUM_CHUNK_BYTES", str(1 << 30))
+
+log(f"=== scale10m_r5 start (small={SMALL}) ===")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+if SMALL:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+log(f"devices: {jax.devices()}")
+
+from llp_tpu.core import build_graph  # noqa: E402
+from llp_tpu.data.synthetic import community_features, sbm_graph  # noqa: E402
+from llp_tpu.models.encoder import (  # noqa: E402
+    apply_encoder,
+    precompute_first_aggregation,
+)
+from llp_tpu.models.predictor import (  # noqa: E402
+    apply_link_predictor,
+    init_link_predictor,
+)
+from llp_tpu.ops.metrics import roc_auc  # noqa: E402
+from llp_tpu.ops.pallas.segsum_kernel import attach_segsum  # noqa: E402
+from llp_tpu.train.teacher import (  # noqa: E402
+    init_teacher_params,
+    make_teacher_epoch_fn,
+)
+from llp_tpu.train.student import (  # noqa: E402
+    init_student_params,
+    make_student_epoch_fn,
+)
+from llp_tpu.utils.precision import cast_params  # noqa: E402
+
+if SMALL:
+    N, K, DEG, D, H, BL = 20_000, 8, 7.0, 64, 128, 8192
+else:
+    N, K, DEG, D, H, BL = 10_000_000, 64, 7.0, 64, 128, 1 << 21
+
+BF = jnp.bfloat16
+
+
+def mem_mb():
+    try:
+        from llp_tpu.utils.memory import get_device_memory_map
+
+        d = next(iter(get_device_memory_map().values()))
+        return {k: v >> 20 for k, v in d.items()}
+    except Exception as ex:  # noqa: BLE001
+        return {"err": str(ex)[:80]}
+
+
+def tiny_graph_fields(g):
+    """Free the device COO/CSR arrays the teacher epoch never touches
+    (uniform negatives + gather_last + arg layouts): ~1 GB at 70M edges."""
+    z = jnp.zeros((1,), jnp.int32)
+    return g.replace(senders=z, receivers=z, csr_row=z,
+                     edge_mask=jnp.zeros((1,), bool))
+
+
+# ---------------------------------------------------------------- phase 0/1
+t0 = time.time()
+ei, comm = sbm_graph(N, K, DEG, seed=5)
+x_np = community_features(comm, D, kind="gauss", seed=5)
+e = ei.shape[1]
+log(f"host graph: N={N} E={e} D={D} in {time.time() - t0:.0f}s")
+
+t0 = time.time()
+g = build_graph(ei.astype(np.int64), N)
+log(f"build_graph in {time.time() - t0:.0f}s (E_pad={g.num_padded_edges})")
+
+t0 = time.time()
+g = attach_segsum(g)
+log(f"attach_segsum in {time.time() - t0:.0f}s blocks={g.seg_meta}")
+
+import ml_dtypes  # noqa: E402
+
+xd = jnp.asarray(x_np.astype(ml_dtypes.bfloat16))
+pos_edges = jnp.asarray(ei.T.astype(np.int32))
+pos_np = ei.T.astype(np.int64)
+row_ptr_np = np.asarray(jax.device_get(g.row_ptr))
+col_np = np.asarray(jax.device_get(g.col))
+out_deg_np = np.asarray(jax.device_get(g.out_degree))
+g_t = tiny_graph_fields(g)
+del g, ei, x_np
+log(f"device residency after slimming: {mem_mb()}")
+
+# ---------------------------------------------------------------- teacher
+steps = -(-e // BL)
+epoch_fn, tx = make_teacher_epoch_fn(
+    encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
+    num_pos_edges=e, link_batch_size=BL, neg_mode="uniform", lr=0.005,
+    spmm_impl="segsum", compute_dtype="bfloat16", gather_last=True,
+)
+params = init_teacher_params(
+    jax.random.PRNGKey(0), encoder="sage", in_channels=D,
+    hidden_channels=H, num_layers=2, predictor_mode="mlp",
+)
+opt_state = tx.init(params)
+neg_keys = jnp.zeros((1,), jnp.int32)
+
+t0 = time.time()
+lowered = epoch_fn.lower(params, opt_state, jax.random.PRNGKey(1), g_t, xd,
+                         pos_edges, neg_keys)
+compiled = lowered.compile()
+try:
+    ma = compiled.memory_analysis()
+    log(f"teacher epoch memory_analysis: temp={ma.temp_size_in_bytes >> 20}MB "
+        f"args={ma.argument_size_in_bytes >> 20}MB "
+        f"out={ma.output_size_in_bytes >> 20}MB "
+        f"gen={ma.generated_code_size_in_bytes >> 20}MB")
+except Exception as ex:  # noqa: BLE001
+    log(f"memory_analysis unavailable: {ex!r}")
+log(f"teacher compile in {time.time() - t0:.0f}s ({steps} steps/epoch)")
+
+teacher_eps = []
+try:
+    for ep in range(3):
+        t0 = time.time()
+        # call the AOT-compiled executable (epoch_fn(...) would retrace)
+        params, opt_state, loss = compiled(
+            params, opt_state, jax.random.PRNGKey(10 + ep), g_t, xd,
+            pos_edges, neg_keys,
+        )
+        lv = float(loss)
+        dt = time.time() - t0
+        teacher_eps.append(dt)
+        log(f"teacher epoch {ep}: {dt:.1f}s loss={lv:.4f} "
+            f"({2 * e / dt / 1e6:.2f}M edges/s) mem={mem_mb()}")
+except RuntimeError as ex:
+    log(f"TEACHER EPOCH FAILED: {ex!r}")
+    log("aborting (nothing below can run without the teacher)")
+    log("DONE")
+    sys.exit(0)
+
+# ------------------------------------------------- teacher export + AUC gate
+t0 = time.time()
+p16 = cast_params(params, BF)
+
+
+@jax.jit
+def encode_full(p, graph, x, x_agg):
+    return apply_encoder("sage", p["encoder"], graph, x, train=False,
+                         impl="segsum", x_agg=x_agg)
+
+
+x_agg = precompute_first_aggregation("sage", g_t, xd, impl="segsum")
+h_t = encode_full(p16, g_t, xd, x_agg)
+float(h_t[0, 0].astype(jnp.float32))
+del x_agg
+log(f"teacher full encode (N,{H}) bf16 in {time.time() - t0:.0f}s "
+    f"mem={mem_mb()}")
+
+rng = np.random.default_rng(3)
+n_eval = min(200_000, e)
+pos_idx = rng.choice(e, size=n_eval, replace=False)
+ev_pos = jnp.asarray(pos_np[pos_idx].astype(np.int32))
+ev_neg = jnp.asarray(rng.integers(0, N, size=(n_eval, 2)).astype(np.int32))
+
+
+def auc_of(h, pred_params, mode="mlp"):
+    @jax.jit
+    def scores(h, pp, edges):
+        hi = jnp.take(h, edges[:, 0], axis=0)
+        hj = jnp.take(h, edges[:, 1], axis=0)
+        return apply_link_predictor(pp, hi, hj, mode=mode, train=False)
+
+    sp = scores(h, pred_params, ev_pos)
+    sn = scores(h, pred_params, ev_neg)
+    return float(roc_auc(sp.astype(jnp.float32), sn.astype(jnp.float32)))
+
+
+t_auc = auc_of(h_t, cast_params(params["predictor"], BF))
+log(f"teacher AUC (200k pos vs 200k rand-neg sample): {t_auc:.4f}")
+
+# ---------------------------------------------------------------- student
+g_s = build_graph(
+    np.stack([pos_np[:, 0], pos_np[:, 1]]), N
+)  # fresh graph WITH CSR for walks; no segsum needed (MLP student)
+g_s = g_s.replace(senders=jnp.zeros((1,), jnp.int32),
+                  receivers=jnp.zeros((1,), jnp.int32),
+                  csr_row=jnp.zeros((1,), jnp.int32),
+                  edge_mask=jnp.zeros((1,), bool))
+bn = max(1, int(N / (e / BL)))
+s_epoch_fn, s_tx = make_student_epoch_fn(
+    num_nodes=N, num_pos_edges=e, link_batch_size=BL, node_batch_size=bn,
+    minibatch=True, compute_dtype="bfloat16", neg_mode="uniform",
+)
+s_params = init_student_params(
+    jax.random.PRNGKey(2), in_channels=D, hidden_channels=H, num_layers=2,
+    predictor_mode="mlp",
+)
+s_opt = s_tx.init(s_params)
+tpred = params["predictor"]
+
+t0 = time.time()
+student_eps = []
+try:
+    for ep in range(3):
+        t0 = time.time()
+        s_params, s_opt, s_loss = s_epoch_fn(
+            s_params, s_opt, jax.random.PRNGKey(30 + ep), g_s, xd, h_t,
+            tpred, pos_edges, neg_keys,
+        )
+        lv = float(s_loss)
+        dt = time.time() - t0
+        student_eps.append(dt)
+        log(f"student epoch {ep}: {dt:.1f}s loss={lv:.4f} "
+            f"({2 * e / dt / 1e6:.2f}M edges/s) mem={mem_mb()}")
+except RuntimeError as ex:
+    log(f"STUDENT EPOCH FAILED: {ex!r}")
+
+try:
+    sp16 = cast_params(s_params, BF)
+
+    @jax.jit
+    def student_encode(p, x):
+        from llp_tpu.models.mlp import apply_mlp
+
+        return apply_mlp(p["encoder"], x, train=False)
+
+    h_s = student_encode(sp16, xd)
+    s_auc = auc_of(h_s, sp16["predictor"])
+    log(f"student AUC (same sample): {s_auc:.4f} (teacher {t_auc:.4f})")
+    del h_s
+except RuntimeError as ex:  # noqa: BLE001
+    log(f"student encode/AUC failed: {ex!r}")
+
+del g_s, s_params, s_opt, xd, pos_edges
+log(f"mem after training phases: {mem_mb()}")
+
+# ------------------------------------- trained int4 chain (VERDICT ask #5)
+from llp_tpu.serve.engine import top_k_partners  # noqa: E402
+from llp_tpu.serve.quant import QuantTable, quantize_table  # noqa: E402
+
+t0 = time.time()
+blk = 1_000_000
+n_pad = -(-N // blk) * blk
+quant_blk = jax.jit(lambda hb: quantize_table(hb.astype(jnp.float32), bits=4))
+parts = [quant_blk(jax.lax.dynamic_slice_in_dim(h_t, i, min(blk, N - i)))
+         if min(blk, N - i) == blk else
+         quant_blk(h_t[i:N]) for i in range(0, N, blk)]
+qt4 = QuantTable(q=jnp.concatenate([p.q for p in parts]),
+                 scale=jnp.concatenate([p.scale for p in parts]), bits=4)
+del parts
+log(f"int4 quantize of the TRAINED table in {time.time() - t0:.0f}s "
+    f"(packed {qt4.q.nbytes >> 20}MB vs fp32 {N * H * 4 >> 20}MB)")
+
+h32 = h_t.astype(jnp.float32)
+pred_inner = init_link_predictor(jax.random.PRNGKey(7), "inner", H, H)
+pred_mlp16 = cast_params(params["predictor"], BF)
+
+q_n = 256
+qi = jnp.asarray(rng.integers(0, N, size=q_n).astype(np.int32))
+
+
+def recall(vals_ids_a, vals_ids_b, k=10):
+    ia, ib = np.asarray(vals_ids_a[1]), np.asarray(vals_ids_b[1])
+    return float(np.mean([
+        len(set(ia[r, :k]) & set(ib[r, :k])) / k for r in range(ia.shape[0])
+    ]))
+
+
+def timed(fn, *a, **kw):
+    out = fn(*a, **kw)
+    _ = float(np.asarray(out[0])[0, 0])
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        _ = float(np.asarray(out[0])[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return out, best * 1e3
+
+
+def score_regret(h, pp, mode, q_ids, got_ids, exact_vals):
+    """1 - (sum of EXACT scores of the retrieved set) / (sum of exact top-k
+    scores): near-tied candidates make id-overlap recall misleadingly
+    harsh — regret measures what retrieval quality actually loses."""
+    gi = jnp.asarray(np.asarray(got_ids), jnp.int32)
+    hi = jnp.take(h, q_ids, axis=0)[:, None, :]
+    hj = jnp.take(h, gi.reshape(-1), axis=0).reshape(gi.shape + (h.shape[1],))
+    s = apply_link_predictor(pp, jnp.broadcast_to(hi, hj.shape), hj,
+                             mode=mode, train=False)
+    got_sum = np.asarray(jnp.sum(s, axis=1), np.float64)
+    best_sum = np.asarray(exact_vals, np.float64).sum(axis=1)
+    return float(np.mean(1.0 - got_sum / np.maximum(best_sum, 1e-9)))
+
+
+try:
+    exact32, ms_exact = timed(
+        top_k_partners, pred_inner, h32, qi, k=10, mode="inner")
+    # isolate the loss sources: approx alone (fp32), then int8, then int4
+    a32, _ = timed(top_k_partners, pred_inner, h32, qi, k=10, mode="inner",
+                   approx=True)
+    rows = {"fp32_approx": (a32, None)}
+    a4, ms_a4 = timed(
+        top_k_partners, pred_inner, qt4, qi, k=10, mode="inner", approx=True)
+    rows["int4_approx"] = (a4, ms_a4)
+    for name, (got, ms) in rows.items():
+        r = recall(got, exact32)
+        reg = score_regret(h32, pred_inner, "inner", qi, got[1],
+                           np.asarray(exact32[0]))
+        log(f"TRAINED-table inner (Q=256, N={N}) {name} vs fp32-exact: "
+            f"recall@10={r:.4f} score-regret={reg:.5f}"
+            + (f"  ({ms:.1f} ms vs exact {ms_exact:.1f} ms)" if ms else ""))
+
+    qi_m = qi[:128]
+    exact_m, ms_em = timed(
+        top_k_partners, pred_mlp16, h32, qi_m, k=10, mode="mlp")
+    a4_m, ms_am = timed(
+        top_k_partners, pred_mlp16, qt4, qi_m, k=10, mode="mlp", approx=True,
+        compute_dtype=BF)
+    r_mlp = recall(a4_m, exact_m)
+    reg_m = score_regret(h32, pred_mlp16, "mlp", qi_m, a4_m[1],
+                         np.asarray(exact_m[0]))
+    log(f"TRAINED-decoder mlp (Q=128) int4+approx+bf16 vs fp32-exact: "
+        f"recall@10={r_mlp:.4f} score-regret={reg_m:.5f} "
+        f"({ms_am:.1f} ms vs {ms_em:.1f} ms)")
+except RuntimeError as ex:
+    log(f"int4 chain failed: {ex!r}")
+
+del h32, h_t
+log(f"mem before daemon: {mem_mb()}")
+
+# --------------------------- int4@10M daemon concurrency (VERDICT ask #4)
+import json  # noqa: E402
+import threading  # noqa: E402
+import urllib.request  # noqa: E402
+
+from llp_tpu.serve.server import BackgroundServer, ServingState  # noqa: E402
+
+
+def post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/topk", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def drive(port, payload, conc, per_client):
+    lats, errors = [], []
+    lock = threading.Lock()
+
+    def client():
+        mine = []
+        for _ in range(per_client):
+            t0 = time.perf_counter()
+            try:
+                post(port, payload)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+                continue
+            mine.append(time.perf_counter() - t0)
+        with lock:
+            lats.extend(mine)
+
+    ts = [threading.Thread(target=client) for _ in range(conc)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.perf_counter() - t0
+    lats = np.array(sorted(lats))
+    n = len(lats)
+    return dict(
+        conc=conc, n=n, errors=len(errors),
+        rps=round(n / wall, 2) if wall else 0.0,
+        p50=round(float(lats[n // 2]) * 1e3, 1) if n else None,
+        p95=round(float(lats[min(n - 1, int(n * 0.95))]) * 1e3, 1) if n else None,
+    )
+
+
+try:
+    queries = rng.integers(0, N, size=256).tolist()
+    payload = {"queries": queries, "k": 10}
+    state = ServingState(pred_inner, qt4, mode="inner", approx=True)
+    with BackgroundServer(state) as srv:
+        post(srv.port, payload)
+        post(srv.port, payload)
+        # warm EVERY merge-bucket width (r4 lesson: 2/3/4-merges hit
+        # different padded buckets; a cold bucket mid-measurement is a
+        # ~2.2s outlier that tanks one concurrency row)
+        for mult in (2, 3, 4, 8):
+            post(srv.port, {"queries": (queries * mult)[: 256 * mult],
+                            "k": 10})
+        rows = []
+        for conc in (1, 2, 4, 8):
+            per_client = max(6, 24 // conc)
+            drive(srv.port, payload, conc, max(2, per_client // 3))  # warm
+            r = drive(srv.port, payload, conc, per_client)
+            rows.append(r)
+            log(f"daemon int4@{N}: {r}")
+    log("daemon_int4_rows " + json.dumps(rows))
+except Exception as ex:  # noqa: BLE001
+    log(f"daemon phase failed: {ex!r}")
+
+log(f"final mem: {mem_mb()}")
+log("teacher_eps " + json.dumps([round(v, 1) for v in teacher_eps]))
+log("student_eps " + json.dumps([round(v, 1) for v in student_eps]))
+log("DONE")
