@@ -85,8 +85,17 @@ def make_teacher_epoch_fn(
     compute_dtype="float32",
     epochs_per_call: int = 1,
     gather_last: bool = False,
+    remat: bool = False,
 ):
     """Build a jitted epoch function.
+
+    ``remat=True`` wraps the encoder call in ``jax.checkpoint``: hidden-
+    layer pre-activations are recomputed in the backward instead of saved.
+    With ``gather_last`` the recompute DCEs the final-layer aggregation
+    (its output feeds only gathered rows), so the time cost is one cheap
+    linear+relu replay while ~2 (N, H)-sized residuals leave the step's
+    peak — the knob that fits a 10M-node teacher on a 16 GB chip
+    (measured: one-step program 17.0 GB -> fits after remat).
 
     Returns ``(epoch_fn, tx)`` where
     ``epoch_fn(params, opt_state, key, graph, x, pos_edges, neg_keys)
@@ -125,25 +134,32 @@ def make_teacher_epoch_fn(
         src = jnp.concatenate([edges[:, 0], neg[0]])
         dst = jnp.concatenate([edges[:, 1], neg[1]])
         enc_kwargs = dict(
-            dropout=dropout, train=True, rng=k_drop, conv=conv,
-            norm_type=norm_type, impl=spmm_impl, x_agg=x_agg,
+            dropout=dropout, train=True, conv=conv,
+            norm_type=norm_type, impl=spmm_impl,
         )
         new_norm_state = None
+
+        def enc(p_enc, graph, x, x_agg, rng, last_rows):
+            return apply_encoder(
+                encoder, p_enc, graph, x, rng=rng, x_agg=x_agg,
+                last_rows=last_rows, **enc_kwargs,
+            )
+
+        if remat:
+            enc = jax.checkpoint(enc)
         if gather_last:
             # Final-layer projection of the 4b gathered endpoint rows only:
             # the (N, H) last embedding and its cotangent never materialize
             # (exact up to float reassociation — see apply_encoder).
-            rows = apply_encoder(
-                encoder, params["encoder"], graph, x,
-                last_rows=jnp.concatenate([src, dst]), **enc_kwargs,
+            rows = enc(
+                params["encoder"], graph, x, x_agg, k_drop,
+                jnp.concatenate([src, dst]),
             )
             if stateful:
                 rows, new_norm_state = rows
             hi, hj = rows[: 2 * b], rows[2 * b:]
         else:
-            h = apply_encoder(
-                encoder, params["encoder"], graph, x, **enc_kwargs
-            )
+            h = enc(params["encoder"], graph, x, x_agg, k_drop, None)
             if stateful:
                 h, new_norm_state = h
             hi = jnp.take(h, src, axis=0)

@@ -85,7 +85,12 @@ from llp_tpu.utils.precision import cast_params  # noqa: E402
 if SMALL:
     N, K, DEG, D, H, BL = 20_000, 8, 7.0, 64, 128, 8192
 else:
-    N, K, DEG, D, H, BL = 10_000_000, 64, 7.0, 64, 128, 1 << 21
+    # BL=2^19: the decoder path gathers 4*BL endpoint rows; at 2^21 those
+    # (8.4M, 128) bf16 tensors (x2 gathers + backward copies) alone were
+    # ~6 GB and the first compile OOMed at 17.35/15.75 GB.  (Note: (N, 64)
+    # arrays tile-pad 2x to 128 lanes in HBM — D=64 saves no residency
+    # over D=128.)
+    N, K, DEG, D, H, BL = 10_000_000, 64, 7.0, 64, 128, 1 << 19
 
 BF = jnp.bfloat16
 
@@ -110,7 +115,15 @@ def tiny_graph_fields(g):
 
 # ---------------------------------------------------------------- phase 0/1
 t0 = time.time()
-ei, comm = sbm_graph(N, K, DEG, seed=5)
+CACHE = f"/tmp/scale10m_cache_{N}.npz"
+if os.path.exists(CACHE):
+    with np.load(CACHE) as z:
+        ei, comm = z["ei"], z["comm"]
+    log(f"host graph loaded from cache in {time.time() - t0:.0f}s")
+else:
+    ei, comm = sbm_graph(N, K, DEG, seed=5)
+    if not SMALL:
+        np.savez(CACHE, ei=ei, comm=comm)
 x_np = community_features(comm, D, kind="gauss", seed=5)
 e = ei.shape[1]
 log(f"host graph: N={N} E={e} D={D} in {time.time() - t0:.0f}s")
@@ -136,32 +149,49 @@ del g, ei, x_np
 log(f"device residency after slimming: {mem_mb()}")
 
 # ---------------------------------------------------------------- teacher
-steps = -(-e // BL)
-epoch_fn, tx = make_teacher_epoch_fn(
-    encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
-    num_pos_edges=e, link_batch_size=BL, neg_mode="uniform", lr=0.005,
-    spmm_impl="segsum", compute_dtype="bfloat16", gather_last=True,
-)
 params = init_teacher_params(
     jax.random.PRNGKey(0), encoder="sage", in_channels=D,
     hidden_channels=H, num_layers=2, predictor_mode="mlp",
 )
-opt_state = tx.init(params)
 neg_keys = jnp.zeros((1,), jnp.int32)
 
-t0 = time.time()
-lowered = epoch_fn.lower(params, opt_state, jax.random.PRNGKey(1), g_t, xd,
-                         pos_edges, neg_keys)
-compiled = lowered.compile()
-try:
-    ma = compiled.memory_analysis()
-    log(f"teacher epoch memory_analysis: temp={ma.temp_size_in_bytes >> 20}MB "
-        f"args={ma.argument_size_in_bytes >> 20}MB "
-        f"out={ma.output_size_in_bytes >> 20}MB "
-        f"gen={ma.generated_code_size_in_bytes >> 20}MB")
-except Exception as ex:  # noqa: BLE001
-    log(f"memory_analysis unavailable: {ex!r}")
-log(f"teacher compile in {time.time() - t0:.0f}s ({steps} steps/epoch)")
+compiled = None
+for bl_try in (BL, BL // 2, BL // 4):
+    steps = -(-e // bl_try)
+    epoch_fn, tx = make_teacher_epoch_fn(
+        encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
+        num_pos_edges=e, link_batch_size=bl_try, neg_mode="uniform",
+        lr=0.005, spmm_impl="segsum", compute_dtype="bfloat16",
+        gather_last=True, remat=True,
+    )
+    opt_state = tx.init(params)
+    t0 = time.time()
+    try:
+        lowered = epoch_fn.lower(params, opt_state, jax.random.PRNGKey(1),
+                                 g_t, xd, pos_edges, neg_keys)
+        compiled = lowered.compile()
+    except Exception as ex:  # noqa: BLE001 - HBM-OOM at compile is a
+        # JaxRuntimeError; step the batch down instead of dying (a dead
+        # process wedges the relay AND loses the whole run)
+        log(f"teacher compile FAILED at bl={bl_try}: {str(ex)[:300]}")
+        compiled = None
+        continue
+    try:
+        ma = compiled.memory_analysis()
+        log(f"teacher epoch memory_analysis: "
+            f"temp={ma.temp_size_in_bytes >> 20}MB "
+            f"args={ma.argument_size_in_bytes >> 20}MB "
+            f"out={ma.output_size_in_bytes >> 20}MB "
+            f"gen={ma.generated_code_size_in_bytes >> 20}MB")
+    except Exception as ex:  # noqa: BLE001
+        log(f"memory_analysis unavailable: {ex!r}")
+    log(f"teacher compile in {time.time() - t0:.0f}s "
+        f"(bl={bl_try}, {steps} steps/epoch)")
+    break
+if compiled is None:
+    log("all teacher batch sizes failed to compile — aborting")
+    log("DONE")
+    sys.exit(0)
 
 teacher_eps = []
 try:
@@ -276,7 +306,7 @@ try:
 except RuntimeError as ex:  # noqa: BLE001
     log(f"student encode/AUC failed: {ex!r}")
 
-del g_s, s_params, s_opt, xd, pos_edges
+del g_s, g_t, s_params, s_opt, xd, pos_edges
 log(f"mem after training phases: {mem_mb()}")
 
 # ------------------------------------- trained int4 chain (VERDICT ask #5)

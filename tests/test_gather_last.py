@@ -89,9 +89,13 @@ def test_last_rows_isolated_nodes_sage_updated():
 @pytest.mark.parametrize("encoder,conv", [
     ("sage", "sage"), ("sage", "sage_updated"), ("gcn", "sage"),
 ])
-def test_teacher_epoch_gather_last_trajectory_matches(problem, encoder, conv):
-    """gather_last=True must reproduce the normal epoch's loss AND params
-    (the losses/grads flow through identical values up to reassociation)."""
+@pytest.mark.parametrize("remat", [False, True])
+def test_teacher_epoch_gather_last_trajectory_matches(problem, encoder, conv,
+                                                      remat):
+    """gather_last=True (and the remat knob that makes it fit at 10M) must
+    reproduce the normal epoch's loss AND params (the losses/grads flow
+    through identical values up to reassociation; remat changes only WHEN
+    values are computed, not what)."""
     from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
 
     g, x, ei, _ = problem
@@ -106,8 +110,9 @@ def test_teacher_epoch_gather_last_trajectory_matches(problem, encoder, conv):
         hidden_channels=16, num_layers=2, predictor_mode="mlp",
     )
 
-    def run(gather_last):
-        fn, tx = make_teacher_epoch_fn(**kw, gather_last=gather_last)
+    def run(gather_last, rm=False):
+        fn, tx = make_teacher_epoch_fn(**kw, gather_last=gather_last,
+                                       remat=rm)
         p = jax.tree_util.tree_map(jnp.copy, params0)
         s = tx.init(p)
         losses = []
@@ -118,7 +123,7 @@ def test_teacher_epoch_gather_last_trajectory_matches(problem, encoder, conv):
         return p, losses
 
     p_a, l_a = run(False)
-    p_b, l_b = run(True)
+    p_b, l_b = run(True, rm=remat)
     np.testing.assert_allclose(l_b, l_a, rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p_a),
                     jax.tree_util.tree_leaves(p_b)):
