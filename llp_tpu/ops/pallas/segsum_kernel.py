@@ -300,40 +300,64 @@ def _segment_sum_arrays(
 
     mdtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     msg_bytes = num_blocks * BE * d_pad * jnp.dtype(mdtype).itemsize
-    if msg_bytes <= _CHUNK_MSG_BYTES:
-        chunks = [(0, num_blocks)]
-    else:
-        # Window-aligned chunks (multiples of 8 blocks — the lid tile rows):
-        # each chunk's partial sums accumulate into the SAME aliased output;
-        # a window spanning a chunk boundary is exact because every window's
-        # first block read-modify-writes the current HBM content.
-        cb = max(8, (_CHUNK_MSG_BYTES // (BE * d_pad *
-                                          jnp.dtype(mdtype).itemsize)) // 8 * 8)
-        chunks = [(c0, min(cb, num_blocks - c0))
-                  for c0 in range(0, num_blocks, cb)]
 
-    def gathered(c0, nb_c):
-        sl = jax.lax.dynamic_slice_in_dim(senders, c0 * BE, nb_c * BE)
+    def gathered(sl, wl):
         m = jnp.take(x, sl, axis=0).astype(mdtype)
-        if slot_weights is not None:
-            wl = jax.lax.dynamic_slice_in_dim(slot_weights, c0 * BE, nb_c * BE)
+        if wl is not None:
             m = m * wl.astype(m.dtype)[:, None]
         if d_pad != d:
             m = jnp.pad(m, ((0, 0), (0, d_pad - d)))
         return m
 
-    out = jnp.zeros((n_out_pad, d_pad), out_dtype or jnp.float32)
-    for c0, nb_c in chunks:
-        rows8 = -(-nb_c // 8) * 8
+    out0 = jnp.zeros((n_out_pad, d_pad), out_dtype or jnp.float32)
+    if msg_bytes <= _CHUNK_MSG_BYTES:
+        wl = None if slot_weights is None else slot_weights
+        return _segsum_call(
+            local_ids, block_r0, gathered(senders, wl), out0,
+            num_blocks=num_blocks, n_out_pad=n_out_pad, interpret=interpret,
+        )[:num_segments, :d]
+
+    # CHUNKED stream, serialized with lax.scan: equal window-aligned chunks
+    # (multiples of 8 blocks — the lid tile rows), each accumulating into
+    # the carried output; a window spanning a chunk boundary is exact
+    # because every window's first block read-modify-writes the current HBM
+    # content.  A python-loop version of this was measured keeping MANY
+    # chunk gathers live at once (the gathers carry no data dependence, so
+    # XLA hoists them: 7+ x 512MB buffers in the 10M-node probe) — the scan
+    # body forces one-gather-at-a-time and compiles ONE kernel program.
+    cb = max(8, (_CHUNK_MSG_BYTES // (BE * d_pad *
+                                      jnp.dtype(mdtype).itemsize)) // 8 * 8)
+    kc = -(-num_blocks // cb)
+    total = kc * cb
+    rows_have = local_ids.shape[0]
+    # Pad layouts to total blocks: pad blocks carry no edges (lid=RMAX ->
+    # zero one-hot) and repeat the last real window base (they re-add 0 to
+    # an already-final window — exact).
+    senders_p = jnp.pad(senders, (0, total * BE - num_blocks * BE))
+    local_p = jnp.pad(local_ids, ((0, total - rows_have), (0, 0)),
+                      constant_values=RMAX)
+    r0_p = jnp.pad(block_r0, (0, total - num_blocks), mode="edge")
+    w_p = None
+    if slot_weights is not None:
+        w_p = jnp.pad(slot_weights, (0, total * BE - num_blocks * BE))
+
+    def body(out, c):
+        c0 = c * cb
+        sl = jax.lax.dynamic_slice_in_dim(senders_p, c0 * BE, cb * BE)
+        wl = (None if w_p is None
+              else jax.lax.dynamic_slice_in_dim(w_p, c0 * BE, cb * BE))
         out = _segsum_call(
-            jax.lax.dynamic_slice_in_dim(local_ids, c0, rows8),
-            jax.lax.dynamic_slice_in_dim(block_r0, c0, nb_c),
-            gathered(c0, nb_c),
+            jax.lax.dynamic_slice_in_dim(local_p, c0, cb),
+            jax.lax.dynamic_slice_in_dim(r0_p, c0, cb),
+            gathered(sl, wl),
             out,
-            num_blocks=nb_c,
+            num_blocks=cb,
             n_out_pad=n_out_pad,
             interpret=interpret,
         )
+        return out, None
+
+    out, _ = jax.lax.scan(body, out0, jnp.arange(kc, dtype=jnp.int32))
     return out[:num_segments, :d]
 
 

@@ -86,6 +86,7 @@ def make_teacher_epoch_fn(
     epochs_per_call: int = 1,
     gather_last: bool = False,
     remat: bool = False,
+    hoist: bool | None = None,
 ):
     """Build a jitted epoch function.
 
@@ -120,6 +121,12 @@ def make_teacher_epoch_fn(
     cdtype = resolve_dtype(compute_dtype)
 
     def _should_hoist(d_in: int, h_out: int, e_pad: int) -> bool:
+        if hoist is not None:
+            # Explicit override: at extreme scale the hoisted (N, D) x_agg
+            # is program-lifetime residency; hoist=False + remat trades two
+            # recomputed layer-1 SpMMs per step for that memory (the knob
+            # the 10M-node single-chip run needs).
+            return hoist and encoder != "mlp"
         return should_hoist_first_agg(
             encoder, conv, d_in, h_out, e_pad, steps * epochs_per_call
         )

@@ -105,12 +105,13 @@ params = init_teacher_params(
 neg_keys = jnp.zeros((1,), jnp.int32)
 
 
-def epoch_probe(bl, steps_override=None):
+def epoch_probe(bl, steps_override=None, remat=False, hoist=None):
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
         num_pos_edges=e if steps_override is None else bl * steps_override,
         link_batch_size=bl, neg_mode="uniform", lr=0.005,
         spmm_impl="segsum", compute_dtype="bfloat16", gather_last=True,
+        remat=remat, hoist=hoist,
     )
     opt_state = tx.init(params)
     pe = pos_edges if steps_override is None else pos_edges[: bl * steps_override]
@@ -118,11 +119,18 @@ def epoch_probe(bl, steps_override=None):
                           pe, neg_keys)
 
 
-probe("C one-step-epoch", lambda: epoch_probe(1 << 19, steps_override=1))
-compiled_d = probe("D full-epoch bl=2^19", lambda: epoch_probe(1 << 19))
-
-if compiled_d is None:
-    sk._CHUNK_MSG_BYTES = 2 << 30
-    probe("E full-epoch chunk=2GB", lambda: epoch_probe(1 << 19))
-
+# Memory-knob matrix, one step each: find what fits 15.75 GB.
+probe("M1 step remat=0 hoist=1",
+      lambda: epoch_probe(1 << 19, steps_override=1))
+probe("M2 step remat=1 hoist=1",
+      lambda: epoch_probe(1 << 19, steps_override=1, remat=True))
+probe("M3 step remat=1 hoist=0",
+      lambda: epoch_probe(1 << 19, steps_override=1, remat=True, hoist=False))
+probe("M4 step remat=0 hoist=0",
+      lambda: epoch_probe(1 << 19, steps_override=1, hoist=False))
+sk._CHUNK_MSG_BYTES = 1 << 29
+probe("M5 step remat=1 hoist=0 chunk=0.5G",
+      lambda: epoch_probe(1 << 19, steps_override=1, remat=True, hoist=False))
+probe("M6 epoch remat=1 hoist=0 chunk=0.5G",
+      lambda: epoch_probe(1 << 19, remat=True, hoist=False))
 log("DONE")
