@@ -325,30 +325,24 @@ def _segment_sum_arrays(
     # chunk gathers live at once (the gathers carry no data dependence, so
     # XLA hoists them: 7+ x 512MB buffers in the 10M-node probe) — the scan
     # body forces one-gather-at-a-time and compiles ONE kernel program.
+    # The scan covers only the FULL chunks (slices always in bounds — a
+    # padded-copy version cost two extra whole-layout-array copies at
+    # runtime, 0.75 GB at 91M edges); the leftover tail is one static
+    # dispatch after the loop.
     cb = max(8, (_CHUNK_MSG_BYTES // (BE * d_pad *
                                       jnp.dtype(mdtype).itemsize)) // 8 * 8)
-    kc = -(-num_blocks // cb)
-    total = kc * cb
-    rows_have = local_ids.shape[0]
-    # Pad layouts to total blocks: pad blocks carry no edges (lid=RMAX ->
-    # zero one-hot) and repeat the last real window base (they re-add 0 to
-    # an already-final window — exact).
-    senders_p = jnp.pad(senders, (0, total * BE - num_blocks * BE))
-    local_p = jnp.pad(local_ids, ((0, total - rows_have), (0, 0)),
-                      constant_values=RMAX)
-    r0_p = jnp.pad(block_r0, (0, total - num_blocks), mode="edge")
-    w_p = None
-    if slot_weights is not None:
-        w_p = jnp.pad(slot_weights, (0, total * BE - num_blocks * BE))
+    kfull = num_blocks // cb
+    tail = num_blocks - kfull * cb
 
     def body(out, c):
         c0 = c * cb
-        sl = jax.lax.dynamic_slice_in_dim(senders_p, c0 * BE, cb * BE)
-        wl = (None if w_p is None
-              else jax.lax.dynamic_slice_in_dim(w_p, c0 * BE, cb * BE))
+        sl = jax.lax.dynamic_slice_in_dim(senders, c0 * BE, cb * BE)
+        wl = (None if slot_weights is None
+              else jax.lax.dynamic_slice_in_dim(slot_weights, c0 * BE,
+                                                cb * BE))
         out = _segsum_call(
-            jax.lax.dynamic_slice_in_dim(local_p, c0, cb),
-            jax.lax.dynamic_slice_in_dim(r0_p, c0, cb),
+            jax.lax.dynamic_slice_in_dim(local_ids, c0, cb),
+            jax.lax.dynamic_slice_in_dim(block_r0, c0, cb),
             gathered(sl, wl),
             out,
             num_blocks=cb,
@@ -357,7 +351,23 @@ def _segment_sum_arrays(
         )
         return out, None
 
-    out, _ = jax.lax.scan(body, out0, jnp.arange(kc, dtype=jnp.int32))
+    out, _ = jax.lax.scan(body, out0, jnp.arange(kfull, dtype=jnp.int32))
+    if tail:
+        c0 = kfull * cb
+        rows8 = -(-tail // 8) * 8
+        sl = jax.lax.dynamic_slice_in_dim(senders, c0 * BE, tail * BE)
+        wl = (None if slot_weights is None
+              else jax.lax.dynamic_slice_in_dim(slot_weights, c0 * BE,
+                                                tail * BE))
+        out = _segsum_call(
+            jax.lax.dynamic_slice_in_dim(local_ids, c0, rows8),
+            jax.lax.dynamic_slice_in_dim(block_r0, c0, tail),
+            gathered(sl, wl),
+            out,
+            num_blocks=tail,
+            n_out_pad=n_out_pad,
+            interpret=interpret,
+        )
     return out[:num_segments, :d]
 
 

@@ -87,6 +87,7 @@ def make_teacher_epoch_fn(
     gather_last: bool = False,
     remat: bool = False,
     hoist: bool | None = None,
+    donate_x: bool = False,
 ):
     """Build a jitted epoch function.
 
@@ -181,7 +182,13 @@ def make_teacher_epoch_fn(
 
     # params/opt_state are consumed and re-emitted every call: donate their
     # buffers so XLA updates in place instead of double-buffering HBM.
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # donate_x additionally donates the feature matrix AND re-emits it as a
+    # 4th output: x is read-only, but a non-donated input used inside the
+    # nested epoch/chunk loops forced XLA to keep a full internal COPY
+    # (2.4 GB measured at N=10M) — donation lets the program alias it.
+    donate = (0, 1, 4) if donate_x else (0, 1)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def epoch_fn(params, opt_state, key, graph: Graph, x, pos_edges, neg_keys):
         if x.dtype == jnp.float32:
             x = x.astype(cdtype)  # cast once, outside the scan
@@ -237,6 +244,9 @@ def make_teacher_epoch_fn(
         (params, opt_state), losses = jax.lax.scan(
             one_epoch, (params, opt_state), keys
         )
-        return params, opt_state, losses[0] if epochs_per_call == 1 else losses
+        loss_out = losses[0] if epochs_per_call == 1 else losses
+        if donate_x:
+            return params, opt_state, loss_out, x
+        return params, opt_state, loss_out
 
     return epoch_fn, tx

@@ -105,13 +105,14 @@ params = init_teacher_params(
 neg_keys = jnp.zeros((1,), jnp.int32)
 
 
-def epoch_probe(bl, steps_override=None, remat=False, hoist=None):
+def epoch_probe(bl, steps_override=None, remat=False, hoist=None,
+                donate_x=False):
     epoch_fn, tx = make_teacher_epoch_fn(
         encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
         num_pos_edges=e if steps_override is None else bl * steps_override,
         link_batch_size=bl, neg_mode="uniform", lr=0.005,
         spmm_impl="segsum", compute_dtype="bfloat16", gather_last=True,
-        remat=remat, hoist=hoist,
+        remat=remat, hoist=hoist, donate_x=donate_x,
     )
     opt_state = tx.init(params)
     pe = pos_edges if steps_override is None else pos_edges[: bl * steps_override]
@@ -119,18 +120,46 @@ def epoch_probe(bl, steps_override=None, remat=False, hoist=None):
                           pe, neg_keys)
 
 
-# Memory-knob matrix, one step each: find what fits 15.75 GB.
-probe("M1 step remat=0 hoist=1",
-      lambda: epoch_probe(1 << 19, steps_override=1))
-probe("M2 step remat=1 hoist=1",
-      lambda: epoch_probe(1 << 19, steps_override=1, remat=True))
-probe("M3 step remat=1 hoist=0",
-      lambda: epoch_probe(1 << 19, steps_override=1, remat=True, hoist=False))
-probe("M4 step remat=0 hoist=0",
-      lambda: epoch_probe(1 << 19, steps_override=1, hoist=False))
-sk._CHUNK_MSG_BYTES = 1 << 29
-probe("M5 step remat=1 hoist=0 chunk=0.5G",
-      lambda: epoch_probe(1 << 19, steps_override=1, remat=True, hoist=False))
-probe("M6 epoch remat=1 hoist=0 chunk=0.5G",
-      lambda: epoch_probe(1 << 19, remat=True, hoist=False))
+# Scan-chunked round: epoch-level configs, most-preferred first; run ONE
+# epoch on the first one that compiles (timing + execution validation).
+CONFIGS = [
+    ("T1 epoch remat=1 donate_x=1 bl=2^19", dict(remat=True, donate_x=True)),
+    ("T2 epoch remat=1 bl=2^19", dict(remat=True)),
+    ("T3 epoch remat=1 donate_x=1 bl=2^18",
+     dict(remat=True, donate_x=True), 1 << 18),
+]
+for cfg in CONFIGS:
+    name, kw = cfg[0], cfg[1]
+    bl = cfg[2] if len(cfg) > 2 else (1 << 19)
+    compiled = probe(name, lambda: epoch_probe(bl, **kw))
+    if compiled is None:
+        continue
+    epoch_fn, tx = make_teacher_epoch_fn(
+        encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
+        num_pos_edges=e, link_batch_size=bl, neg_mode="uniform", lr=0.005,
+        spmm_impl="segsum", compute_dtype="bfloat16", gather_last=True,
+        **kw,
+    )
+    opt_state = tx.init(params)
+    dx = kw.get("donate_x", False)
+    try:
+        xd_l = xd
+        p2, o2 = params, opt_state
+        for ep in range(1, 3):
+            t0 = time.time()
+            outs = compiled(p2, o2, jax.random.PRNGKey(ep), g_t, xd_l,
+                            pos_edges, neg_keys)
+            if dx:
+                p2, o2, loss, xd_l = outs
+            else:
+                p2, o2, loss = outs
+            lv = float(loss)
+            dt = time.time() - t0
+            log(f"{name}: EPOCH{ep} {dt:.1f}s loss={lv:.4f} "
+                f"({2 * e / dt / 1e6:.2f}M edges/s)")
+    except Exception as ex:  # noqa: BLE001
+        log(f"{name}: epoch EXEC failed")
+        for line in str(ex).splitlines()[:40]:
+            log(f"  | {line}")
+    break
 log("DONE")

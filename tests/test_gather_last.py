@@ -178,3 +178,38 @@ def test_teacher_epoch_attached_graph_matches_and_const_free(problem):
     big = [np.asarray(c).nbytes for c in jaxpr.consts
            if hasattr(c, "nbytes") and np.asarray(c).nbytes > 65536]
     assert not big, f"large constants leaked into the epoch program: {big}"
+
+
+def test_teacher_epoch_donate_x_matches(problem):
+    """donate_x=True re-emits the (unchanged) feature matrix as a 4th
+    output and must not change the trajectory — the knob exists because a
+    non-donated x used inside the nested loops kept a full internal copy
+    (2.4 GB at N=10M)."""
+    from llp_tpu.train.teacher import init_teacher_params, make_teacher_epoch_fn
+
+    g, x, ei, _ = problem
+    pos = jnp.asarray(ei.T.astype(np.int32))
+    kw = dict(
+        encoder="sage", conv="sage", predictor_mode="mlp", dropout=0.0,
+        num_nodes=300, num_pos_edges=int(pos.shape[0]),
+        link_batch_size=256, neg_mode="uniform", lr=0.01, gather_last=True,
+        remat=True,
+    )
+    params0 = init_teacher_params(
+        jax.random.PRNGKey(0), encoder="sage", in_channels=24,
+        hidden_channels=16, num_layers=2, predictor_mode="mlp",
+    )
+    fn_a, tx = make_teacher_epoch_fn(**kw)
+    p_a = jax.tree_util.tree_map(jnp.copy, params0)
+    p_a, s_a, l_a = fn_a(p_a, tx.init(p_a), jax.random.PRNGKey(5), g, x, pos,
+                         jnp.zeros((1,), jnp.int32))
+    fn_b, _ = make_teacher_epoch_fn(**kw, donate_x=True)
+    xb = jnp.copy(x)
+    p_b = jax.tree_util.tree_map(jnp.copy, params0)
+    p_b, s_b, l_b, xb = fn_b(p_b, tx.init(p_b), jax.random.PRNGKey(5), g, xb,
+                             pos, jnp.zeros((1,), jnp.int32))
+    assert float(l_b) == pytest.approx(float(l_a), rel=1e-6)
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(x))
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
