@@ -61,6 +61,7 @@ def apply_encoder(
     norm_axis=None,
     norm_row_mask=None,
     last_rows=None,
+    packed_first: bool = False,
 ):
     """Returns ``h``; with norm_type="batch", ``(h, new_norm_state)``.
 
@@ -78,14 +79,20 @@ def apply_encoder(
     embedding — and, more importantly, its (N, H) cotangent — never
     materializes.  At N=10M/H=128 that is ~5 GB off the step peak and an
     N·H² → B·H² MXU saving.  Exact up to float reassociation (test-gated).
+
+    ``packed_first``: ``x`` is the packed (N, 2D) ``[x | mean_agg(x)]`` pair
+    from :func:`pack_first_layer_input`; layer 1 runs as one stacked-weight
+    matmul (sage family only).
     """
     if name == "sage":
         return apply_sage(
             params, graph, x, dropout=dropout, train=train, rng=rng, conv=conv,
             norm_type=norm_type, impl=impl, x_agg=x_agg,
             norm_axis=norm_axis, norm_row_mask=norm_row_mask,
-            last_rows=last_rows,
+            last_rows=last_rows, packed_first=packed_first,
         )
+    if packed_first:
+        raise ValueError("packed_first is only supported for the sage encoder")
     if name == "gcn":
         if norm_type != "none":
             raise ValueError("the GCN encoder has no inter-layer norms")
@@ -136,3 +143,23 @@ def precompute_first_aggregation(
         del conv  # both variants hoist the same (weighted-aware) mean
         return mean_aggregate(graph, x, impl=impl)
     raise ValueError(f"unknown encoder {name!r}")
+
+
+def pack_first_layer_input(
+    graph: Graph, x: jnp.ndarray, *, impl: str = "xla"
+) -> jnp.ndarray:
+    """``[x | mean_agg(x)]`` along features — the packed, epoch-invariant
+    layer-1 input for ``apply_encoder(..., packed_first=True)`` (sage family).
+
+    Why pack instead of passing ``x_agg`` separately: bf16 (N, D) arrays
+    with D < 128 tile-pad to 128 HBM lanes (2x physical memory at D=64 —
+    the compile-time OOM the round-5 10M-node teacher hit: x and its
+    in-program hoisted aggregation cost 2.38 GB EACH padded, plus XLA kept
+    a full copy of the loop-invariant x).  The packed (N, 2D) array is one
+    lane-aligned argument: compute it ONCE per run (it is parameter-free),
+    outside the epoch program.
+    """
+    from llp_tpu.ops.spmm import mean_aggregate
+
+    agg = mean_aggregate(graph, x, impl=impl)
+    return jnp.concatenate([x, agg.astype(x.dtype)], axis=1)

@@ -93,6 +93,65 @@ _CONV_APPLY = {
 }
 
 
+def _has_nbr(graph: Graph, dtype) -> jnp.ndarray:
+    """(N,) 1.0 where the (possibly weighted) in-degree is positive — the
+    rows whose hoisted bias survives (torch_sparse mean yields 0 rows on
+    isolated nodes, so the bias must vanish exactly there)."""
+    if getattr(graph, "edge_weight", None) is None:
+        return (graph.in_degree > 0).astype(dtype)
+    return (weighted_in_degree(graph) > 0).astype(dtype)
+
+
+def _stacked_first_weights(params: dict, dtype) -> jnp.ndarray:
+    """[[W_r], [W_l]] — the contraction matrix for a PACKED layer-1 input
+    ``xp = [x | mean_agg(x)]``:  ``xp @ [[W_r],[W_l]] = x W_r + agg W_l``."""
+    return jnp.concatenate(
+        [params["lin_r"]["w"].astype(dtype), params["lin_l"]["w"].astype(dtype)],
+        axis=0,
+    )
+
+
+def _apply_packed_first(
+    conv: str, params: dict, graph: Graph, xp: jnp.ndarray
+) -> jnp.ndarray:
+    """Layer-1 on the packed epoch-invariant pair ``xp = [x | mean_agg(x)]``
+    (N, 2D): ONE lane-aligned matmul with the stacked weights replaces the
+    two D-wide matmuls.
+
+    Exact up to float reassociation vs the two-matmul order (one fused 2D
+    contraction instead of two D contractions + add).  The point is HBM
+    layout at huge N: bf16 (N, D) arrays with D < 128 tile-pad to 128 lanes
+    (2x physical HBM at D=64 — the round-3 ``local_ids`` bug class), so
+    keeping x and x_agg as separate epoch arguments costs 2x2 unpadded
+    sizes while the packed (N, 2D) array costs exactly one.
+    """
+    out = jnp.dot(xp, _stacked_first_weights(params, xp.dtype),
+                  preferred_element_type=jnp.float32)
+    b = params["lin_l"]["b"].astype(jnp.float32)
+    if conv == "sage":
+        out = out + b
+    else:  # sage_updated: the hoisted bias drops on isolated rows
+        out = out + b * _has_nbr(graph, jnp.float32)[:, None]
+    return out.astype(xp.dtype)
+
+
+def _packed_first_rows(
+    conv: str, params: dict, graph: Graph, xp: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """``_apply_packed_first(...)[idx]`` without the (N, dout) output —
+    the single-layer ``last_rows`` counterpart (projection commutes with
+    row gathering)."""
+    rows = jnp.take(xp, idx, axis=0)
+    out = jnp.dot(rows, _stacked_first_weights(params, xp.dtype),
+                  preferred_element_type=jnp.float32)
+    b = params["lin_l"]["b"].astype(jnp.float32)
+    if conv == "sage":
+        out = out + b
+    else:
+        out = out + b * jnp.take(_has_nbr(graph, jnp.float32), idx)[:, None]
+    return out.astype(xp.dtype)
+
+
 def _sage_conv_rows(
     conv: str,
     params: dict,
@@ -181,16 +240,28 @@ def apply_sage(
     norm_axis: Optional[str] = None,
     norm_row_mask: Optional[jnp.ndarray] = None,
     last_rows: Optional[jnp.ndarray] = None,
+    packed_first: bool = False,
 ) -> jnp.ndarray:
     """``last_rows``: optional (B,) node ids — return only those ROWS of the
     final conv's output (see :func:`_sage_conv_rows`; the hidden layers
-    still run full-graph)."""
+    still run full-graph).
+
+    ``packed_first``: ``x`` is the PACKED (N, 2D) pair ``[x | mean_agg(x)]``
+    (see :func:`llp_tpu.models.encoder.pack_first_layer_input`); layer 1
+    consumes it via one stacked-weight matmul and no in-program layer-1
+    aggregation runs.  Mutually exclusive with ``x_agg``.
+    """
+    if packed_first and x_agg is not None:
+        raise ValueError("packed_first and x_agg are mutually exclusive")
     conv_fn = _CONV_APPLY[conv]
     convs = params["convs"]
     h = x
     new_state = []
     for i, cp in enumerate(convs[:-1]):
-        h = conv_fn(cp, graph, h, impl=impl, x_agg=x_agg if i == 0 else None)
+        if i == 0 and packed_first:
+            h = _apply_packed_first(conv, cp, graph, h)
+        else:
+            h = conv_fn(cp, graph, h, impl=impl, x_agg=x_agg if i == 0 else None)
         if norm_type != "none":
             st = params["norm_state"][i] if norm_type == "batch" else {}
             h, st = apply_norm(
@@ -204,7 +275,11 @@ def apply_sage(
                 raise ValueError("train-mode dropout requires an rng key")
             h = inverted_dropout(h, dropout, jax.random.fold_in(rng, i))
     last_agg = x_agg if len(convs) == 1 else None
-    if last_rows is not None:
+    if len(convs) == 1 and packed_first:
+        h = (_packed_first_rows(conv, convs[-1], graph, h, last_rows)
+             if last_rows is not None
+             else _apply_packed_first(conv, convs[-1], graph, h))
+    elif last_rows is not None:
         h = _sage_conv_rows(
             conv, convs[-1], graph, h, last_rows, impl=impl, x_agg=last_agg
         )

@@ -88,6 +88,7 @@ def make_teacher_epoch_fn(
     remat: bool = False,
     hoist: bool | None = None,
     donate_x: bool = False,
+    packed_x: bool = False,
 ):
     """Build a jitted epoch function.
 
@@ -111,7 +112,17 @@ def make_teacher_epoch_fn(
     layer-1 aggregation hoist amortize across the block.  ``key`` must then
     be a stacked (epochs_per_call, ...) array of per-epoch keys, and the
     returned loss is the (epochs_per_call,) per-epoch mean-loss vector.
+
+    ``packed_x=True`` (sage family): the ``x`` argument is the packed
+    (N, 2D) pair from
+    :func:`llp_tpu.models.encoder.pack_first_layer_input`, computed ONCE
+    per run outside the program; no in-program hoist runs and layer 1 is a
+    single stacked-weight matmul.  At huge N this removes two program-
+    lifetime (N, D) buffers (lane padding + the loop-invariant-x copy —
+    see pack_first_layer_input's docstring).
     """
+    if packed_x and encoder != "sage":
+        raise ValueError("packed_x requires the sage encoder family")
     e = num_pos_edges
     b = min(link_batch_size, e)
     steps = -(-e // b)
@@ -143,7 +154,7 @@ def make_teacher_epoch_fn(
         dst = jnp.concatenate([edges[:, 1], neg[1]])
         enc_kwargs = dict(
             dropout=dropout, train=True, conv=conv,
-            norm_type=norm_type, impl=spmm_impl,
+            norm_type=norm_type, impl=spmm_impl, packed_first=packed_x,
         )
         new_norm_state = None
 
@@ -196,7 +207,7 @@ def make_teacher_epoch_fn(
         # instead of per batch (exact — aggregation commutes with weights),
         # gated on profitability (see _should_hoist).
         x_agg = None
-        if encoder != "mlp":
+        if encoder != "mlp" and not packed_x:
             conv0 = params["encoder"]["convs"][0]
             h_out = (conv0["lin_l"] if "lin_l" in conv0 else conv0["lin"])["w"].shape[1]
             if _should_hoist(int(x.shape[1]), int(h_out), graph.num_padded_edges):

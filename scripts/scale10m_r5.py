@@ -62,10 +62,7 @@ log(f"devices: {jax.devices()}")
 
 from llp_tpu.core import build_graph  # noqa: E402
 from llp_tpu.data.synthetic import community_features, sbm_graph  # noqa: E402
-from llp_tpu.models.encoder import (  # noqa: E402
-    apply_encoder,
-    precompute_first_aggregation,
-)
+from llp_tpu.models.encoder import apply_encoder  # noqa: E402
 from llp_tpu.models.predictor import (  # noqa: E402
     apply_link_predictor,
     init_link_predictor,
@@ -138,6 +135,8 @@ log(f"attach_segsum in {time.time() - t0:.0f}s blocks={g.seg_meta}")
 
 import ml_dtypes  # noqa: E402
 
+from llp_tpu.models.encoder import pack_first_layer_input  # noqa: E402
+
 xd = jnp.asarray(x_np.astype(ml_dtypes.bfloat16))
 pos_edges = jnp.asarray(ei.T.astype(np.int32))
 pos_np = ei.T.astype(np.int64)
@@ -146,7 +145,19 @@ col_np = np.asarray(jax.device_get(g.col))
 out_deg_np = np.asarray(jax.device_get(g.out_degree))
 g_t = tiny_graph_fields(g)
 del g, ei, x_np
-log(f"device residency after slimming: {mem_mb()}")
+
+# Packed layer-1 input, computed ONCE per run outside the epoch program:
+# two (N, 64) bf16 arrays lane-pad 2x in HBM (2.38 GB each at N=10M) and
+# the in-program hoist held both for the program lifetime plus a full copy
+# of loop-invariant x — 16.95 GB total, the round-5 compile OOM.  The
+# packed (N, 128) array is one unpadded 2.38 GB argument.
+t0 = time.time()
+xp = jax.jit(pack_first_layer_input, static_argnames=("impl",))(
+    g_t, xd, impl="segsum")
+float(xp[0, 0].astype(jnp.float32))
+del xd
+log(f"pack_first_layer_input (N,{2 * D}) bf16 in {time.time() - t0:.0f}s "
+    f"mem={mem_mb()}")
 
 # ---------------------------------------------------------------- teacher
 params = init_teacher_params(
@@ -162,13 +173,13 @@ for bl_try in (BL, BL // 2, BL // 4):
         encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
         num_pos_edges=e, link_batch_size=bl_try, neg_mode="uniform",
         lr=0.005, spmm_impl="segsum", compute_dtype="bfloat16",
-        gather_last=True, remat=True,
+        gather_last=True, remat=True, packed_x=True,
     )
     opt_state = tx.init(params)
     t0 = time.time()
     try:
         lowered = epoch_fn.lower(params, opt_state, jax.random.PRNGKey(1),
-                                 g_t, xd, pos_edges, neg_keys)
+                                 g_t, xp, pos_edges, neg_keys)
         compiled = lowered.compile()
     except Exception as ex:  # noqa: BLE001 - HBM-OOM at compile is a
         # JaxRuntimeError; step the batch down instead of dying (a dead
@@ -199,7 +210,7 @@ try:
         t0 = time.time()
         # call the AOT-compiled executable (epoch_fn(...) would retrace)
         params, opt_state, loss = compiled(
-            params, opt_state, jax.random.PRNGKey(10 + ep), g_t, xd,
+            params, opt_state, jax.random.PRNGKey(10 + ep), g_t, xp,
             pos_edges, neg_keys,
         )
         lv = float(loss)
@@ -219,15 +230,13 @@ p16 = cast_params(params, BF)
 
 
 @jax.jit
-def encode_full(p, graph, x, x_agg):
-    return apply_encoder("sage", p["encoder"], graph, x, train=False,
-                         impl="segsum", x_agg=x_agg)
+def encode_full(p, graph, xpk):
+    return apply_encoder("sage", p["encoder"], graph, xpk, train=False,
+                         impl="segsum", packed_first=True)
 
 
-x_agg = precompute_first_aggregation("sage", g_t, xd, impl="segsum")
-h_t = encode_full(p16, g_t, xd, x_agg)
+h_t = encode_full(p16, g_t, xp)
 float(h_t[0, 0].astype(jnp.float32))
-del x_agg
 log(f"teacher full encode (N,{H}) bf16 in {time.time() - t0:.0f}s "
     f"mem={mem_mb()}")
 
@@ -254,6 +263,12 @@ t_auc = auc_of(h_t, cast_params(params["predictor"], BF))
 log(f"teacher AUC (200k pos vs 200k rand-neg sample): {t_auc:.4f}")
 
 # ---------------------------------------------------------------- student
+# The MLP student consumes the RAW features: the packed array's first D
+# columns are exactly x (slice, then drop the packed buffer).
+xd = xp[:, :D]
+float(xd[0, 0].astype(jnp.float32))
+del xp
+
 g_s = build_graph(
     np.stack([pos_np[:, 0], pos_np[:, 1]]), N
 )  # fresh graph WITH CSR for walks; no segsum needed (MLP student)
