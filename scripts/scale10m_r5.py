@@ -43,9 +43,11 @@ def log(msg):
     LOG.write(f"[{time.strftime('%H:%M:%S')}] {msg}\n")
 
 
-# 1 GB segsum chunks: the 70M-edge bf16 message stream dispatches in ~18
-# pieces; peak transient stays ~1 GB instead of ~18.
-os.environ.setdefault("LLP_SEGSUM_CHUNK_BYTES", str(1 << 30))
+# 512 MB segsum chunks: the 91M-edge bf16 message stream dispatches in ~45
+# pieces; peak transient stays ~0.5 GB instead of ~23.  (1 GB chunks put the
+# bl=2^19 epoch at 15.72 GiB planned on a 15.75 GiB chip — it compiled and
+# then crashed the worker at execution: plan + runtime reserve oversubscribed.)
+os.environ.setdefault("LLP_SEGSUM_CHUNK_BYTES", str(1 << 29))
 
 log(f"=== scale10m_r5 start (small={SMALL}) ===")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -166,57 +168,101 @@ params = init_teacher_params(
 )
 neg_keys = jnp.zeros((1,), jnp.int32)
 
-compiled = None
+# Execution-safety gate: plans above this are untested on the 15.75 GiB
+# chip (the 15.72 GiB plan compiled fine; its crash turned out to be the
+# watchdog below, but stay clear of the edge anyway).
+MEM_GATE = 15 * 2**30 + 2**28  # 15.25 GiB
+
+# THE 60-SECOND WATCHDOG (round-5 finding): any single device program
+# running longer than ~60 s on the axon relay kills the TPU worker
+# ("UNAVAILABLE: TPU worker process crashed").  Every whole-epoch program
+# at this scale (87-348 steps x 0.3-1 s) trips it; 60-step programs pass,
+# 87-step programs die at +60-64 s — bisected across memory sizes, dtypes
+# and feature sets (scripts/probe_epoch_*.py, probe_steps_count.py).  The
+# epoch therefore runs as SUB-60s SEGMENT programs: a host loop feeds
+# device-side permutation slices to an AOT segment executable (the
+# per-dispatch ~2 ms tunnel cost x ~11 segments is noise).  Semantics: the
+# epoch permutation is drawn ONCE per epoch on device; each segment
+# re-permutes its own slice internally (a permutation of a permutation —
+# still a uniform epoch permutation, batches without replacement).
+SEG_STEPS = 32
+
+seg_comp = tail_comp = None
 for bl_try in (BL, BL // 2, BL // 4):
-    steps = -(-e // bl_try)
-    epoch_fn, tx = make_teacher_epoch_fn(
-        encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
-        num_pos_edges=e, link_batch_size=bl_try, neg_mode="uniform",
-        lr=0.005, spmm_impl="segsum", compute_dtype="bfloat16",
-        gather_last=True, remat=True, packed_x=True,
-    )
-    opt_state = tx.init(params)
+    seg_e = SEG_STEPS * bl_try
+    nfull = e // seg_e
+    tail_e = e - nfull * seg_e
+
+    def build(num_edges, bl):
+        fn, tx = make_teacher_epoch_fn(
+            encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
+            num_pos_edges=num_edges, link_batch_size=bl, neg_mode="uniform",
+            lr=0.005, spmm_impl="segsum", compute_dtype="bfloat16",
+            gather_last=True, remat=True, packed_x=True,
+        )
+        opt = tx.init(params)
+        pos_shape = jax.ShapeDtypeStruct((num_edges, 2), jnp.int32)
+        lowered = fn.lower(params, opt, jax.random.PRNGKey(1), g_t, xp,
+                           pos_shape, neg_keys)
+        return lowered.compile(), tx
+
     t0 = time.time()
     try:
-        lowered = epoch_fn.lower(params, opt_state, jax.random.PRNGKey(1),
-                                 g_t, xp, pos_edges, neg_keys)
-        compiled = lowered.compile()
-    except Exception as ex:  # noqa: BLE001 - HBM-OOM at compile is a
-        # JaxRuntimeError; step the batch down instead of dying (a dead
-        # process wedges the relay AND loses the whole run)
-        log(f"teacher compile FAILED at bl={bl_try}: {str(ex)[:300]}")
-        compiled = None
-        continue
-    try:
-        ma = compiled.memory_analysis()
-        log(f"teacher epoch memory_analysis: "
+        seg_comp, tx = build(seg_e, bl_try)
+        ma = seg_comp.memory_analysis()
+        tot = ma.temp_size_in_bytes + ma.argument_size_in_bytes
+        log(f"teacher SEGMENT ({SEG_STEPS} steps, bl={bl_try}) memory: "
             f"temp={ma.temp_size_in_bytes >> 20}MB "
-            f"args={ma.argument_size_in_bytes >> 20}MB "
-            f"out={ma.output_size_in_bytes >> 20}MB "
-            f"gen={ma.generated_code_size_in_bytes >> 20}MB")
-    except Exception as ex:  # noqa: BLE001
-        log(f"memory_analysis unavailable: {ex!r}")
-    log(f"teacher compile in {time.time() - t0:.0f}s "
-        f"(bl={bl_try}, {steps} steps/epoch)")
+            f"args={ma.argument_size_in_bytes >> 20}MB")
+        if tot > MEM_GATE:
+            log(f"plan {tot >> 20}MB exceeds the {MEM_GATE >> 20}MB gate "
+                f"at bl={bl_try} — stepping down")
+            seg_comp = None
+            continue
+        tail_comp = build(tail_e, bl_try)[0] if tail_e else None
+        opt_state = tx.init(params)
+    except Exception as ex:  # noqa: BLE001 - compile OOM: step down, never
+        # die (a dead process wedges the relay AND loses the whole run)
+        log(f"teacher compile FAILED at bl={bl_try}: {str(ex)[:300]}")
+        seg_comp = None
+        continue
+    log(f"teacher compiles in {time.time() - t0:.0f}s (bl={bl_try}, "
+        f"{nfull}x{SEG_STEPS}-step segments + {tail_e} tail edges/epoch)")
     break
-if compiled is None:
+if seg_comp is None:
     log("all teacher batch sizes failed to compile — aborting")
     log("DONE")
     sys.exit(0)
+
+perm_of = jax.jit(lambda k: jax.random.permutation(k, e))
+gather_seg = jax.jit(lambda pos, perm, s: jnp.take(
+    pos, jax.lax.dynamic_slice_in_dim(perm, s, seg_e), axis=0))
+if tail_e:
+    gather_tail = jax.jit(lambda pos, perm: jnp.take(
+        pos, perm[nfull * seg_e:], axis=0))
 
 teacher_eps = []
 try:
     for ep in range(3):
         t0 = time.time()
-        # call the AOT-compiled executable (epoch_fn(...) would retrace)
-        params, opt_state, loss = compiled(
-            params, opt_state, jax.random.PRNGKey(10 + ep), g_t, xp,
-            pos_edges, neg_keys,
-        )
-        lv = float(loss)
+        ek = jax.random.PRNGKey(10 + ep)
+        perm = perm_of(jax.random.fold_in(ek, 999))
+        tot_l = 0.0
+        for si in range(nfull):
+            pos_seg = gather_seg(pos_edges, perm, jnp.int32(si * seg_e))
+            params, opt_state, l = seg_comp(
+                params, opt_state, jax.random.fold_in(ek, si), g_t, xp,
+                pos_seg, neg_keys)
+            tot_l += float(l) * seg_e
+        if tail_e:
+            pos_t = gather_tail(pos_edges, perm)
+            params, opt_state, l = tail_comp(
+                params, opt_state, jax.random.fold_in(ek, nfull), g_t, xp,
+                pos_t, neg_keys)
+            tot_l += float(l) * tail_e
         dt = time.time() - t0
         teacher_eps.append(dt)
-        log(f"teacher epoch {ep}: {dt:.1f}s loss={lv:.4f} "
+        log(f"teacher epoch {ep}: {dt:.1f}s loss={tot_l / e:.4f} "
             f"({2 * e / dt / 1e6:.2f}M edges/s) mem={mem_mb()}")
 except RuntimeError as ex:
     log(f"TEACHER EPOCH FAILED: {ex!r}")
