@@ -175,61 +175,80 @@ MEM_GATE = 15 * 2**30 + 2**28  # 15.25 GiB
 
 # THE 60-SECOND WATCHDOG (round-5 finding): any single device program
 # running longer than ~60 s on the axon relay kills the TPU worker
-# ("UNAVAILABLE: TPU worker process crashed").  Every whole-epoch program
-# at this scale (87-348 steps x 0.3-1 s) trips it; 60-step programs pass,
-# 87-step programs die at +60-64 s — bisected across memory sizes, dtypes
-# and feature sets (scripts/probe_epoch_*.py, probe_steps_count.py).  The
-# epoch therefore runs as SUB-60s SEGMENT programs: a host loop feeds
-# device-side permutation slices to an AOT segment executable (the
-# per-dispatch ~2 ms tunnel cost x ~11 segments is noise).  Semantics: the
-# epoch permutation is drawn ONCE per epoch on device; each segment
-# re-permutes its own slice internally (a permutation of a permutation —
-# still a uniform epoch permutation, batches without replacement).
-SEG_STEPS = 32
+# ("UNAVAILABLE: TPU worker process crashed").  Bisected across memory
+# sizes, dtypes and feature sets (scripts/probe_epoch_*.py,
+# probe_steps_count.py) and confirmed with a pure 90 s matmul loop dying
+# at 61.7 s (scripts/probe_watchdog.py).  The epoch therefore runs as
+# SUB-WATCHDOG SEGMENT programs: ONE real step is timed first and the
+# segment length is sized for ~22 s of device time (a 10M step is
+# ~1.5-3 s — a fixed 32-step segment measured 90 s and died).  A host
+# loop feeds device-side permutation slices to the AOT segment
+# executable (~2 ms dispatch overhead each).  Semantics: the epoch
+# permutation is drawn ONCE per epoch on device; each segment re-permutes
+# its own slice internally (a permutation of a permutation — still a
+# uniform epoch permutation, batches without replacement).
+SEG_BUDGET_S = 22.0
+
+def build(num_edges, bl):
+    fn, tx = make_teacher_epoch_fn(
+        encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
+        num_pos_edges=num_edges, link_batch_size=bl, neg_mode="uniform",
+        lr=0.005, spmm_impl="segsum", compute_dtype="bfloat16",
+        gather_last=True, remat=True, packed_x=True,
+    )
+    opt = tx.init(params)
+    pos_shape = jax.ShapeDtypeStruct((num_edges, 2), jnp.int32)
+    lowered = fn.lower(params, opt, jax.random.PRNGKey(1), g_t, xp,
+                       pos_shape, neg_keys)
+    return lowered.compile(), tx
 
 seg_comp = tail_comp = None
 for bl_try in (BL, BL // 2, BL // 4):
-    seg_e = SEG_STEPS * bl_try
-    nfull = e // seg_e
-    tail_e = e - nfull * seg_e
-
-    def build(num_edges, bl):
-        fn, tx = make_teacher_epoch_fn(
-            encoder="sage", predictor_mode="mlp", dropout=0.0, num_nodes=N,
-            num_pos_edges=num_edges, link_batch_size=bl, neg_mode="uniform",
-            lr=0.005, spmm_impl="segsum", compute_dtype="bfloat16",
-            gather_last=True, remat=True, packed_x=True,
-        )
-        opt = tx.init(params)
-        pos_shape = jax.ShapeDtypeStruct((num_edges, 2), jnp.int32)
-        lowered = fn.lower(params, opt, jax.random.PRNGKey(1), g_t, xp,
-                           pos_shape, neg_keys)
-        return lowered.compile(), tx
-
-    t0 = time.time()
     try:
-        seg_comp, tx = build(seg_e, bl_try)
-        ma = seg_comp.memory_analysis()
+        t0 = time.time()
+        one_comp, tx = build(bl_try, bl_try)  # 1-step program: timing probe
+        ma = one_comp.memory_analysis()
         tot = ma.temp_size_in_bytes + ma.argument_size_in_bytes
-        log(f"teacher SEGMENT ({SEG_STEPS} steps, bl={bl_try}) memory: "
+        log(f"teacher 1-step (bl={bl_try}) compiled {time.time() - t0:.0f}s "
             f"temp={ma.temp_size_in_bytes >> 20}MB "
             f"args={ma.argument_size_in_bytes >> 20}MB")
-        if tot > MEM_GATE:
-            log(f"plan {tot >> 20}MB exceeds the {MEM_GATE >> 20}MB gate "
-                f"at bl={bl_try} — stepping down")
-            seg_comp = None
+        if tot + (1 << 29) > MEM_GATE:  # segment adds pos/perm args
+            log(f"plan too close to the {MEM_GATE >> 20}MB gate — step down")
             continue
+        # Time one real step on THROWAWAY params (the probe must not
+        # pre-train the model): warm once, then best of 2.
+        p2 = jax.tree_util.tree_map(jnp.copy, params)
+        o2 = tx.init(p2)
+        pos1 = pos_edges[:bl_try]
+        t_step = float("inf")
+        for it in range(3):
+            t0 = time.time()
+            p2, o2, l = one_comp(p2, o2, jax.random.fold_in(
+                jax.random.PRNGKey(5), it), g_t, xp, pos1, neg_keys)
+            float(l)
+            if it:
+                t_step = min(t_step, time.time() - t0)
+        del p2, o2
+        seg_steps = max(1, min(64, int(SEG_BUDGET_S / t_step)))
+        log(f"one step = {t_step:.2f}s -> {seg_steps}-step segments "
+            f"(~{t_step * seg_steps:.0f}s each)")
+        seg_e = seg_steps * bl_try
+        nfull = e // seg_e
+        tail_e = e - nfull * seg_e
+        t0 = time.time()
+        seg_comp = build(seg_e, bl_try)[0] if nfull else None
         tail_comp = build(tail_e, bl_try)[0] if tail_e else None
         opt_state = tx.init(params)
+        log(f"teacher segment compiles in {time.time() - t0:.0f}s "
+            f"(bl={bl_try}, {nfull}x{seg_steps}-step segments + "
+            f"{tail_e} tail edges/epoch)")
+        break
     except Exception as ex:  # noqa: BLE001 - compile OOM: step down, never
         # die (a dead process wedges the relay AND loses the whole run)
-        log(f"teacher compile FAILED at bl={bl_try}: {str(ex)[:300]}")
-        seg_comp = None
+        log(f"teacher build FAILED at bl={bl_try}: {str(ex)[:300]}")
+        seg_comp = tail_comp = None
         continue
-    log(f"teacher compiles in {time.time() - t0:.0f}s (bl={bl_try}, "
-        f"{nfull}x{SEG_STEPS}-step segments + {tail_e} tail edges/epoch)")
-    break
-if seg_comp is None:
+if seg_comp is None and tail_comp is None:
     log("all teacher batch sizes failed to compile — aborting")
     log("DONE")
     sys.exit(0)
